@@ -1,0 +1,213 @@
+"""lowlight_recovery: differentiable image enhancement as layer 0 of the detector.
+
+Structure parity with the reference (ultralytics/nn/modules/llie.py:11-54):
+  1. bilinear-resize the input to 256x256;
+  2. ExtractParameters2 CNN regresses 15 filter parameters
+     (ultralytics/nn/modules/common.py:52-78);
+  3. apply 5 classical filters sequentially at full resolution in the order
+     DeDark -> WhiteBalance -> Gamma -> Contrast -> USM
+     (ultralytics/nn/modules/filter_cfg.py:65-75, filtersB.py).
+
+TPU design: the four point filters (DeDark/WB/Gamma/Contrast) are a single fused
+elementwise chain (`apply_point_filters`) — XLA fuses it into one VPU pass over the
+image; a Pallas kernel version lives in ops/pallas/enhance_kernel.py. The USM
+25x25 sigma=5 Gaussian is two separable 1-D depthwise convolutions with reflect
+padding instead of the reference's 2-D 625-tap conv per channel.
+
+Filter math (filtersB.py):
+  tanh_range(l, r)(x) = tanh(x) * (r-l)/2 + (r+l)/2             (util_filters.py:295-304)
+  DeDark  (:189-216): w = tanh_range(0.1, 1.0); tx = 1 - w*IcA;
+                      out = (img - A) / max(tx, 0.01) + A
+  WB      (:246-259): f = feat * [0,1,1]; s = exp(tanh_range(-0.5, 0.5)(f));
+                      s /= 1e-5 + 0.27 sR + 0.67 sG + 0.06 sB;  out = img * s
+  Gamma   (:227-233): g = exp(tanh_range(-ln3, ln3)(feat));  out = clip(img,1e-4)^g
+  Contrast(:296-303): p = tanh(feat); lum = clip(rgb2lum(img),0,1);
+                      clum = -cos(pi*lum)*0.5+0.5;
+                      out = lerp(img, img/(lum+1e-6)*clum, p)
+  USM     (:154-175): s = tanh_range(0, 5)(feat);  out = (img - gauss25(img))*s + img
+
+Known reference quirk consciously fixed here: the reference's rgb2lum indexes the
+LAST axis of an NCHW tensor (util_filters.py:270-273), so ContrastFilter actually
+computes a "luminance" over image columns, not channels. We compute the intended
+channel luminance (our tensors are NHWC, where the last axis IS channels).
+
+Parameter layout in the 15-vector (filter_cfg.py:17-36): dedark 0, wb 1:4,
+gamma 4, tone 5:13 (tone filter exists but is excluded from the chain, like the
+reference), contrast 13, usm 14.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# Parameter slots (reference filter_cfg.py)
+NUM_FILTER_PARAMS = 15
+DEDARK_SLOT = 0
+WB_SLOTS = slice(1, 4)
+GAMMA_SLOT = 4
+TONE_SLOTS = slice(5, 13)
+CONTRAST_SLOT = 13
+USM_SLOT = 14
+
+DEFOG_RANGE = (0.1, 1.0)
+GAMMA_RANGE = 3.0
+WB_LOG_RANGE = 0.5
+USM_RANGE = (0.0, 5.0)
+TONE_CURVE_RANGE = (0.5, 2.0)
+CURVE_STEPS = 8
+
+DEFAULT_A = 0.8
+DEFAULT_ICA = 0.5
+
+
+def tanh_range(x, l, r):
+    return jnp.tanh(x) * (r - l) / 2.0 + (r + l) / 2.0
+
+
+def rgb2lum(img):
+    """Channel luminance of an NHWC image -> (..., 1)."""
+    lum = 0.27 * img[..., 0] + 0.67 * img[..., 1] + 0.06 * img[..., 2]
+    return lum[..., None]
+
+
+def regress_filter_params(features):
+    """Squash the raw 15-feature vector into per-filter parameter space.
+
+    features: (B, 15) raw CNN output. Returns dict of per-filter parameters.
+    """
+    dedark_w = tanh_range(features[:, DEDARK_SLOT:DEDARK_SLOT + 1], *DEFOG_RANGE)  # (B,1)
+
+    wb_feat = features[:, WB_SLOTS] * jnp.asarray([0.0, 1.0, 1.0])
+    scale = jnp.exp(tanh_range(wb_feat, -WB_LOG_RANGE, WB_LOG_RANGE))
+    lum = 1e-5 + 0.27 * scale[:, 0] + 0.67 * scale[:, 1] + 0.06 * scale[:, 2]
+    wb_scale = scale / lum[:, None]  # (B,3)
+
+    log_g = math.log(GAMMA_RANGE)
+    gamma = jnp.exp(tanh_range(features[:, GAMMA_SLOT:GAMMA_SLOT + 1], -log_g, log_g))
+
+    contrast = jnp.tanh(features[:, CONTRAST_SLOT:CONTRAST_SLOT + 1])
+    usm = tanh_range(features[:, USM_SLOT:USM_SLOT + 1], *USM_RANGE)
+    return {"dedark_w": dedark_w, "wb": wb_scale, "gamma": gamma,
+            "contrast": contrast, "usm": usm}
+
+
+def apply_point_filters(img, params, dedark_A, IcA):
+    """Fused DeDark -> WB -> Gamma -> Contrast chain (all elementwise).
+
+    img: (B, H, W, 3) in [0,1]; dedark_A: (B, 3); IcA: (B, H, W, 1).
+    """
+    w = params["dedark_w"][:, None, None, :]          # (B,1,1,1)
+    A = dedark_A[:, None, None, :]                    # (B,1,1,3)
+    tx = jnp.maximum(1.0 - w * IcA, 0.01)
+    x = (img - A) / tx + A
+
+    x = x * params["wb"][:, None, None, :]
+
+    g = params["gamma"][:, None, None, :]
+    x = jnp.power(jnp.maximum(x, 1e-4), g)
+
+    p = params["contrast"][:, None, None, :]
+    lum = jnp.clip(rgb2lum(x), 0.0, 1.0)
+    clum = -jnp.cos(math.pi * lum) * 0.5 + 0.5
+    contrast_img = x / (lum + 1e-6) * clum
+    x = (1.0 - p) * x + p * contrast_img
+    return x
+
+
+def gaussian_kernel_25(sigma=5.0, dtype=np.float32):
+    """1-D 25-tap Gaussian, normalized (reference filtersB.py:155-161)."""
+    x = np.arange(-12, 13, dtype=np.float64)
+    k = np.exp(-0.5 * np.square(x / sigma))
+    return (k / k.sum()).astype(dtype)
+
+
+def usm_filter(img, usm_param):
+    """Unsharp mask with 25x25 sigma=5 Gaussian blur, reflect padding.
+
+    Separable: two 1-D depthwise convs (vs the reference's dense 2-D conv per
+    channel, filtersB.py:163-175). img: (B, H, W, 3); usm_param: (B, 1).
+    """
+    k = jnp.asarray(gaussian_kernel_25(), dtype=img.dtype)
+    pad = 12
+    c = img.shape[-1]
+    # horizontal pass: kernel (1, 25, Cin=1, ch_mult=1) depthwise
+    kh = jnp.tile(k.reshape(1, 25, 1, 1), (1, 1, 1, c))
+    xp = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    blur = jax.lax.conv_general_dilated(
+        xp, kh, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    kv = jnp.tile(k.reshape(25, 1, 1, 1), (1, 1, 1, c))
+    xp = jnp.pad(blur, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="reflect")
+    blur = jax.lax.conv_general_dilated(
+        xp, kv, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    s = usm_param[:, None, None, :]
+    return (img - blur) * s + img
+
+
+def apply_filter_chain(img, features, dedark_A, IcA):
+    """Full 5-filter chain from raw 15-vector CNN features."""
+    params = regress_filter_params(features)
+    x = apply_point_filters(img, params, dedark_A, IcA)
+    return usm_filter(x, params["usm"])
+
+
+def tone_filter(img, tone_features):
+    """8-step tone curve (reference filtersB.py:262-286). Defined for parity but
+    excluded from cfg.filters in the reference (filter_cfg.py:68) and from our
+    default chain. img: (B,H,W,3); tone_features: (B, 8) raw."""
+    curve = tanh_range(tone_features, *TONE_CURVE_RANGE)  # (B,8)
+    curve_sum = jnp.sum(curve, axis=-1, keepdims=True) + 1e-30  # (B,1)
+    total = jnp.zeros_like(img)
+    for i in range(CURVE_STEPS):
+        seg = jnp.clip(img - i / CURVE_STEPS, 0.0, 1.0 / CURVE_STEPS)
+        total = total + seg * curve[:, i][:, None, None, None]
+    return total * CURVE_STEPS / curve_sum[:, :, None, None]
+
+
+class ExtractParameters2(nn.Module):
+    """Parameter-regressor CNN: 5 x (conv3x3 s2 + LeakyReLU 0.1, no BN),
+    3->16->32->32->32->32 on 256x256 input, flatten 2048 -> fc 64 -> fc 15.
+
+    Reference: ultralytics/nn/modules/common.py:52-78.
+    """
+    out_dim: int = NUM_FILTER_PARAMS
+
+    @nn.compact
+    def __call__(self, x):
+        widths = (16, 32, 32, 32, 32)
+        for w in widths:
+            x = nn.Conv(w, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=True)(x)
+            x = jax.nn.leaky_relu(x, negative_slope=0.1)
+        x = x.reshape(x.shape[0], -1)  # (B, 8*8*32) = (B, 2048)
+        x = jax.nn.leaky_relu(nn.Dense(64)(x), negative_slope=0.1)
+        return nn.Dense(self.out_dim)(x)
+
+
+class LowlightRecovery(nn.Module):
+    """Layer-0 enhancement module (reference llie.py:11-54).
+
+    __call__(x, dedark_A=None, IcA=None) with x NHWC in [0,1]. When priors are
+    None, uses the reference defaults A=0.8, IcA=0.5 — which is what the reference
+    effectively always uses (SURVEY.md §3.5 quirk: computed priors are only wired
+    through when model.training is False, and standalone val/predict never computes
+    them). Pass computed priors explicitly for the 'computed' prior mode.
+    """
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, dedark_A=None, IcA=None, train: bool = False):
+        b, h, w, _ = x.shape
+        if dedark_A is None:
+            dedark_A = jnp.full((b, 3), DEFAULT_A, dtype=x.dtype)
+        if IcA is None:
+            IcA = jnp.full((b, h, w, 1), DEFAULT_ICA, dtype=x.dtype)
+        small = jax.image.resize(x, (b, 256, 256, x.shape[-1]), method="bilinear")
+        features = ExtractParameters2()(small)
+        return apply_filter_chain(x, features, dedark_A, IcA)

@@ -1,0 +1,361 @@
+"""YAML graph builder and DetectionModel.
+
+Consumes the same `[from, repeats, module, args]` YAML schema as the reference
+(ultralytics/nn/tasks.py:803-921 parse_model), including the special channel rules:
+  - depth/width/max_channels compound scaling per n/s/m/l/x (tasks.py:815-821);
+  - c2 = make_divisible(min(c2, max_channels) * width, 8) unless c2 == nc;
+  - lowlight_recovery -> c2 = args[0] (tasks.py:888-889);
+  - MFRU -> 256 (:890-891); AsffDoubLevel -> 512/256, AsffTribeLevel -> 512/512/256
+    by level (:892-896);
+  - Detect/AsffDetect get the ch list of their from-layers (:897-900).
+
+TPU design: parsing produces a static tuple of LayerSpec; the flax `YOLOGraph`
+module instantiates one submodule per spec in setup() and walks them in __call__
+with a saved-outputs dict — all of it traced once into a single XLA graph (no
+per-layer Python in the hot path after jit). Strides are tracked statically by the
+parser (the reference calibrates them with a dummy 256x256 forward,
+tasks.py:283-293 — unnecessary here since the graph is static).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from . import layers as L
+from .enhance import LowlightRecovery
+from .heads import Detect, AsffDetect, decode_detections
+
+
+def make_divisible(x, divisor=8):
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    i: int                      # layer index
+    f: Tuple[int, ...]          # from-layer indices (-1 = previous); len>1 = multi-input
+    n: int                      # effective repeats (after depth scaling)
+    name: str                   # module name from yaml
+    args: Tuple[Any, ...]       # resolved constructor args (post channel rules)
+    c2: int                     # output channels
+    stride: int                 # cumulative spatial stride of the output
+
+
+# yaml names of modules whose first arg is an output-channel count subject to
+# width scaling (reference tasks.py:856-874 list).
+_CONVLIKE = {
+    "Conv", "ConvTranspose", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP",
+    "SPPF", "DWConv", "Focus", "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3Ghost",
+    "C3x", "RepC3", "FasterC2f_N", "FasterC2f", "PconvBottleneck",
+    "PconvBottleneck_n", "SCConvBottleneck", "SCC2f", "SC_PW_Bottleneck",
+    "SC_PW_C2f", "SC_Conv3_Bottleneck", "SC_Conv3_C2f", "Conv3_SC_C2f",
+    "Conv3_SC_Bottleneck", "SC_PW_PW_C2f", "Classify",
+}
+_REPEAT_BLOCKS = {
+    "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3Ghost", "C3x", "RepC3",
+    "FasterC2f_N", "FasterC2f", "SCC2f", "SC_PW_C2f", "SC_Conv3_C2f",
+    "Conv3_SC_C2f", "SC_PW_PW_C2f",
+}
+_C2F_FAMILY = {
+    "C2f": "standard", "FasterC2f": "pconv", "FasterC2f_N": "pconv_n",
+    "SCC2f": "scconv", "SC_PW_C2f": "sc_pw", "SC_Conv3_C2f": "sc_conv3",
+    "Conv3_SC_C2f": "conv3_sc", "SC_PW_PW_C2f": "sc_pw_pw",
+}
+_HEADS = {"Detect", "AsffDetect", "Segment", "Pose"}
+# spatial stride multiplier contributed by a module (static)
+_STRIDE2 = {"Focus", "HGStem"}
+
+
+def parse_model(d: dict, ch: int = 3, verbose: bool = False):
+    """Parse a model yaml dict into (specs, savelist, head_info).
+
+    Returns:
+        specs: tuple[LayerSpec], one per yaml row.
+        save: sorted list of layer indices whose outputs must be kept.
+        head: dict(name, nc, strides, from_idx, ch_list) for the detect head.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    if scales:
+        scale = d.get("scale") or tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    ch_list: List[int] = [ch]
+    stride_list: List[int] = [1]
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+    head = None
+
+    rows = list(d["backbone"]) + list(d["head"])
+    for i, (f, n, m, args) in enumerate(rows):
+        f_tuple = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        args = list(args)
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a == "nc":
+                    args[j] = nc
+                elif a in ("None", "none"):
+                    args[j] = None
+                elif a in ("True", "False"):
+                    args[j] = a == "True"
+        n_eff = max(round(n * depth), 1) if n > 1 else n
+
+        def in_ch(fi):
+            return ch_list[fi] if fi != -1 else ch_list[-1]
+
+        def in_stride(fi):
+            return stride_list[fi] if fi != -1 else stride_list[-1]
+
+        c1 = in_ch(f_tuple[0])
+        stride = in_stride(f_tuple[0])
+
+        if m in _CONVLIKE:
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if m in _REPEAT_BLOCKS:
+                args.insert(1, n_eff)
+                n_eff = 1
+            s = args[2] if m in ("Conv", "DWConv") and len(args) > 2 else 1
+            if m in _STRIDE2:
+                s = 2 if m == "Focus" else 4
+            if m == "ConvTranspose":
+                stride = max(stride // (args[2] if len(args) > 2 else 2), 1)
+            else:
+                stride = stride * (s if isinstance(s, int) else 1)
+        elif m in ("HGStem",):
+            c2 = args[1]
+            stride = stride * 4
+        elif m in ("HGBlock",):
+            c2 = args[1]
+            args.insert(3, n_eff)
+            n_eff = 1
+        elif m == "nn.Upsample":
+            c2 = c1
+            sf = int(args[1]) if len(args) > 1 and args[1] else 2
+            stride = max(stride // sf, 1)
+        elif m == "nn.BatchNorm2d":
+            c2 = c1
+        elif m == "Concat":
+            c2 = sum(in_ch(x) for x in f_tuple)
+        elif m == "lowlight_recovery":
+            c2 = args[0]
+        elif m == "MFRU":
+            c2 = 256
+            stride = in_stride(f_tuple[2])
+        elif m == "AsffDoubLevel":
+            c2 = 512 if args[0] == 0 else 256
+            stride = in_stride(f_tuple[args[0]])
+        elif m == "AsffTribeLevel":
+            c2 = 512 if args[0] in (0, 1) else 256
+            stride = in_stride(f_tuple[args[0]])
+        elif m == "RFBblock":
+            c2 = (c1 // 4) * 4
+        elif m in ("PConv",):
+            c2 = c1
+        elif m in ("SCConv",):
+            c2 = c1
+            args = [c1, *args[1:]]
+        elif m in _HEADS:
+            ch_ins = [in_ch(x) for x in f_tuple]
+            strides_in = tuple(in_stride(x) for x in f_tuple)
+            head = {"name": m, "nc": args[0], "strides": strides_in,
+                    "from": f_tuple, "ch": tuple(ch_ins), "index": i}
+            c2 = 0
+        elif m in ("CBAM", "ChannelAttention", "SpatialAttention"):
+            c2 = c1
+        else:
+            raise NotImplementedError(f"module '{m}' not supported by parse_model")
+
+        specs.append(LayerSpec(i=i, f=f_tuple, n=n_eff, name=m,
+                               args=tuple(args), c2=c2, stride=stride))
+        save.extend(x % i for x in f_tuple if x != -1)
+        if i == 0:
+            ch_list = []
+            stride_list = []
+        ch_list.append(c2)
+        stride_list.append(stride)
+        if verbose:
+            print(f"{i:>3} {str(f_tuple):>18} {n_eff:>3} {m:<20} {args} -> c2={c2} s={stride}")
+
+    if head is None:
+        raise ValueError("model yaml has no Detect head")
+    return tuple(specs), sorted(set(save)), head
+
+
+def _build_module(spec: LayerSpec, head: dict):
+    """Instantiate the flax module for a LayerSpec (None for functional layers)."""
+    name, a = spec.name, list(spec.args)
+    if name == "Conv":
+        return L.Conv(c2=a[0], k=a[1] if len(a) > 1 else 1,
+                      s=a[2] if len(a) > 2 else 1)
+    if name == "DWConv":
+        return L.DWConv(c2=a[0], k=a[1] if len(a) > 1 else 1,
+                        s=a[2] if len(a) > 2 else 1)
+    if name == "ConvTranspose":
+        return L.ConvTranspose(c2=a[0], k=a[1] if len(a) > 1 else 2,
+                               s=a[2] if len(a) > 2 else 2)
+    if name == "Focus":
+        return L.Focus(c2=a[0], k=a[1] if len(a) > 1 else 1)
+    if name == "GhostConv":
+        return L.GhostConv(c2=a[0], k=a[1] if len(a) > 1 else 1,
+                           s=a[2] if len(a) > 2 else 1)
+    if name in _C2F_FAMILY:
+        return L.C2f(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else False,
+                     bottleneck=_C2F_FAMILY[name])
+    if name == "C1":
+        return L.C1(c2=a[0], n=a[1])
+    if name == "C2":
+        return L.C2(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "C3":
+        return L.C3(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "C3x":
+        return L.C3x(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "C3Ghost":
+        return L.C3Ghost(c2=a[0], n=a[1])
+    if name == "RepC3":
+        return L.RepC3(c2=a[0], n=a[1])
+    if name == "BottleneckCSP":
+        return L.BottleneckCSP(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "Bottleneck":
+        return L.Bottleneck(c2=a[0])
+    if name == "GhostBottleneck":
+        return L.GhostBottleneck(c2=a[0], k=a[1] if len(a) > 1 else 3,
+                                 s=a[2] if len(a) > 2 else 1)
+    if name == "SPP":
+        return L.SPP(c2=a[0], k=tuple(a[1]) if len(a) > 1 else (5, 9, 13))
+    if name == "SPPF":
+        return L.SPPF(c2=a[0], k=a[1] if len(a) > 1 else 5)
+    if name == "HGStem":
+        return L.HGStem(cm=a[0], c2=a[1])
+    if name == "HGBlock":
+        return L.HGBlock(cm=a[0], c2=a[1], k=a[2] if len(a) > 2 else 3, n=a[3])
+    if name == "lowlight_recovery":
+        return LowlightRecovery(out_channels=a[0])
+    if name == "AsffTribeLevel":
+        return L.AsffTribeLevel(level=a[0])
+    if name == "AsffDoubLevel":
+        return L.AsffDoubLevel(level=a[0])
+    if name == "MFRU":
+        return L.MFRU(level=a[0] if a else 0)
+    if name == "RFBblock":
+        return L.RFBblock()
+    if name == "PConv":
+        return L.PConv(n_div=a[1] if len(a) > 1 else 4)
+    if name == "SCConv":
+        return L.SCConv(op_channel=a[0])
+    if name == "CBAM":
+        return L.CBAM()
+    if name == "Classify":
+        return L.Classify(c2=a[0])
+    if name == "Detect":
+        return Detect(nc=head["nc"], strides=head["strides"])
+    if name == "AsffDetect":
+        return AsffDetect(nc=head["nc"], strides=head["strides"])
+    if name in ("nn.Upsample", "Concat", "nn.BatchNorm2d"):
+        return None  # functional
+    raise NotImplementedError(f"no builder for module '{name}'")
+
+
+class YOLOGraph(nn.Module):
+    """The whole detection network as one flax module.
+
+    __call__ returns the raw per-level head maps (B, H, W, 4*reg_max + nc) — the
+    training output. Use heads.decode_detections for the eval decode (equivalent
+    of reference head.py:66-93).
+    """
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    head: FrozenDict
+
+    def setup(self):
+        mods = []
+        for s in self.specs:
+            m = _build_module(s, dict(self.head))
+            mods.append(m if m is not None else ())
+        self.mods = mods
+
+    def __call__(self, x, dedark_A=None, IcA=None, train: bool = False):
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        raw = None
+        for spec, mod in zip(self.specs, self.mods):
+            if len(spec.f) == 1:
+                inp = y if spec.f[0] == -1 else saved[spec.f[0]]
+            else:
+                inp = [y if fi == -1 else saved[fi] for fi in spec.f]
+            if spec.name == "nn.Upsample":
+                sf = int(spec.args[1]) if len(spec.args) > 1 and spec.args[1] else 2
+                y = L.upsample_nearest(inp, sf)
+            elif spec.name == "Concat":
+                y = jnp.concatenate(inp, axis=-1)  # axis 1 (channels) in the ref
+            elif spec.name == "lowlight_recovery":
+                y = mod(inp, dedark_A=dedark_A, IcA=IcA, train=train)
+            elif spec.name in _HEADS:
+                raw = mod(inp, train=train)
+                y = raw
+            else:
+                if spec.n > 1:
+                    y = inp
+                    for _ in range(spec.n):
+                        y = mod(y, train=train)
+                else:
+                    y = mod(inp, train=train)
+            if spec.i in self.save:
+                saved[spec.i] = y
+        return raw
+
+
+class DetectionModel:
+    """Task model: graph + static anchors + loss/decoding glue.
+
+    Counterpart of reference nn/tasks.py:257-343 (DetectionModel), as a plain
+    Python wrapper around the pure flax graph (params live outside the object).
+    """
+
+    def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False):
+        import copy
+        self.yaml = copy.deepcopy(cfg_dict)
+        if nc and nc != self.yaml.get("nc"):
+            self.yaml["nc"] = nc
+        self.nc = self.yaml["nc"]
+        self.specs, self.save, self.head = parse_model(self.yaml, ch=3, verbose=verbose)
+        self.strides = self.head["strides"]
+        self.reg_max = 16
+        self.no = self.nc + 4 * self.reg_max
+        self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
+                                head=FrozenDict(self.head))
+        self.names = {i: str(i) for i in range(self.nc)}
+
+    def init(self, rng, imgsz: int = 640, batch: int = 1):
+        """Initialize variables (params + batch_stats) on a dummy input."""
+        x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        return self.module.init(rng, x, train=False)
+
+    def apply_train(self, variables, x, dedark_A=None, IcA=None):
+        """Forward in train mode; returns (raw_maps, new_batch_stats)."""
+        raw, updates = self.module.apply(
+            variables, x, dedark_A=dedark_A, IcA=IcA, train=True,
+            mutable=["batch_stats"])
+        return raw, updates["batch_stats"]
+
+    def apply_eval(self, variables, x, dedark_A=None, IcA=None, decode=True):
+        """Forward in eval mode; returns (boxes_xywh, scores) if decode else raw."""
+        raw = self.module.apply(variables, x, dedark_A=dedark_A, IcA=IcA, train=False)
+        if not decode:
+            return raw
+        return decode_detections(raw, self.nc, self.strides, self.reg_max)
+
+    def num_params(self, variables):
+        return sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(variables["params"]))

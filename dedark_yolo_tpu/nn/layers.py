@@ -1,0 +1,864 @@
+"""Conv/block zoo as flax.linen modules, NHWC, TPU-first.
+
+Behavioral parity with the reference zoo (ultralytics/nn/modules/conv.py and
+block.py) — same compositional structure and math — but designed for XLA:
+channel-last layout (channels map to TPU lanes), explicit static padding matching
+torch's autopad (k//2), BatchNorm with eps=1e-3 / momentum 0.03 like ultralytics'
+initialize_weights (torch_utils.py:257-267), and no Python-level layer interpreter:
+everything composes into one traced graph.
+
+Input channels are inferred by flax at init, so modules carry only their
+hyperparameters (the reference threads c1 explicitly through parse_model).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch BN defaults per ultralytics initialize_weights: eps=1e-3, momentum=0.03.
+BN_MOMENTUM = 0.97  # flax momentum = 1 - torch momentum
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-style pad for odd kernels. Reference conv.py:15-21."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+def get_act(name):
+    return {
+        "silu": jax.nn.silu,
+        "relu": jax.nn.relu,
+        "relu6": jax.nn.relu6,
+        "leaky": lambda x: jax.nn.leaky_relu(x, negative_slope=0.1),
+        "identity": lambda x: x,
+    }[name]
+
+
+def max_pool_same(x, k: int, s: int = 1):
+    """Torch-style MaxPool2d(k, stride=s, padding=k//2) on NHWC."""
+    p = k // 2
+    return nn.max_pool(x, (k, k), strides=(s, s), padding=((p, p), (p, p)))
+
+
+def upsample_nearest(x, scale: int = 2):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method="nearest")
+
+
+class Conv(nn.Module):
+    """Conv2d + BN + act. Reference conv.py:38-55."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
+                    kernel_dilation=(self.d, self.d), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(x)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(x)
+
+
+class Conv2d(nn.Module):
+    """Bare conv (torch nn.Conv2d equivalent), bias configurable."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        return nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                       padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
+                       kernel_dilation=(self.d, self.d), use_bias=self.bias)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv (+BN+act). Reference conv.py:95-99."""
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = __import__("math").gcd(x.shape[-1], self.c2)
+        return Conv(self.c2, self.k, self.s, g=g, d=self.d, act=self.act)(x, train)
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) + depthwise k (ReLU). Reference conv.py:79-92."""
+    c2: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c2, 1, act="identity")(x, train)
+        return DWConv(self.c2, self.k, act="relu")(x, train)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed conv + BN + act. Reference conv.py:109-126."""
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    bn: bool = True
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                             padding=((self.p, self.p), (self.p, self.p)),
+                             use_bias=not self.bn)(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS)(x)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(x)
+
+
+class Focus(nn.Module):
+    """Space-to-channel then conv. Reference conv.py:129-139."""
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        patches = jnp.concatenate([x[:, ::2, ::2], x[:, 1::2, ::2],
+                                   x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        return Conv(self.c2, self.k, self.s)(patches, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution. Reference conv.py:142-154."""
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s)(x, train)
+        y2 = Conv(c_, 5, 1, g=c_)(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class PConv(nn.Module):
+    """FasterNet partial conv: 3x3 on dim/n_div channels, rest passthrough.
+
+    Reference conv.py:157-190 (split_cat form).
+    """
+    n_div: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dim = x.shape[-1]
+        dc = dim // self.n_div
+        x1, x2 = x[..., :dc], x[..., dc:]
+        x1 = nn.Conv(dc, (3, 3), padding=((1, 1), (1, 1)), use_bias=False)(x1)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class RepConv(nn.Module):
+    """Rep-style 3x3 + 1x1 (+BN id) parallel block, train form. Reference conv.py:193-218."""
+    c2: int
+    k: int = 3
+    s: int = 1
+    use_id_bn: bool = False
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, self.k, self.s, p=1, act="identity")(x, train)
+        y = y + Conv(self.c2, 1, self.s, p=0, act="identity")(x, train)
+        if self.use_id_bn and x.shape[-1] == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(y)
+
+
+class ChannelAttention(nn.Module):
+    """Reference conv.py:294-304."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = nn.Conv(x.shape[-1], (1, 1), use_bias=True)(pooled)
+        return x * jax.nn.sigmoid(w)
+
+
+class SpatialAttention(nn.Module):
+    """Reference conv.py:307-320."""
+    k: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = 3 if self.k == 7 else 1
+        s = jnp.concatenate([jnp.mean(x, axis=-1, keepdims=True),
+                             jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+        w = nn.Conv(1, (self.k, self.k), padding=((p, p), (p, p)), use_bias=False)(s)
+        return x * jax.nn.sigmoid(w)
+
+
+class CBAM(nn.Module):
+    """Reference conv.py:449-459."""
+    k: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return SpatialAttention(self.k)(ChannelAttention()(x, train), train)
+
+
+class GroupBatchnorm2d(nn.Module):
+    """Per-group normalize over (C/G, H, W) with learned per-channel affine.
+
+    Reference conv.py:323-343. Deviation: scale initialized to ones (the reference
+    uses randn, which makes SRU's weight/sum(weight) ill-conditioned at init).
+    Uses the unbiased std like torch.std.
+    """
+    group_num: int = 16
+    eps: float = 1e-10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        weight = self.param("weight", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        # NHWC -> (B, G, C/G * H * W) grouping over channels
+        xg = x.transpose(0, 3, 1, 2).reshape(b, self.group_num, -1)
+        mean = jnp.mean(xg, axis=2, keepdims=True)
+        n = xg.shape[2]
+        var = jnp.var(xg, axis=2, keepdims=True) * (n / max(n - 1, 1))
+        xg = (xg - mean) / (jnp.sqrt(var) + self.eps)
+        xn = xg.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+        return xn * weight + bias
+
+
+class CRU(nn.Module):
+    """Channel reconstruct unit of SCConv. Reference conv.py:379-417."""
+    op_channel: int
+    alpha: float = 0.5
+    squeeze_radio: int = 2
+    group_size: int = 2
+    group_kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        up_c = int(self.alpha * self.op_channel)
+        low_c = self.op_channel - up_c
+        up, low = x[..., :up_c], x[..., up_c:]
+        up = nn.Conv(up_c // self.squeeze_radio, (1, 1), use_bias=False)(up)
+        low = nn.Conv(low_c // self.squeeze_radio, (1, 1), use_bias=False)(low)
+        gk = self.group_kernel_size
+        y1 = nn.Conv(self.op_channel, (gk, gk), padding=((gk // 2, gk // 2),) * 2,
+                     feature_group_count=self.group_size, use_bias=True)(up)
+        y1 = y1 + nn.Conv(self.op_channel, (1, 1), use_bias=False)(up)
+        y2 = jnp.concatenate(
+            [nn.Conv(self.op_channel - low_c // self.squeeze_radio, (1, 1),
+                     use_bias=False)(low), low], axis=-1)
+        out = jnp.concatenate([y1, y2], axis=-1)
+        gate = jax.nn.softmax(jnp.mean(out, axis=(1, 2), keepdims=True), axis=-1)
+        out = gate * out
+        o1, o2 = jnp.split(out, 2, axis=-1)
+        return o1 + o2
+
+
+class SCConv(nn.Module):
+    """SRU + CRU. Reference conv.py:420-446."""
+    op_channel: int
+    group_num: int = 4
+    gate_threshold: float = 0.5
+    alpha: float = 0.5
+    squeeze_radio: int = 2
+    group_size: int = 2
+    group_kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # --- SRU (inlined so the GroupBatchnorm scale param is shareable) ---
+        c = x.shape[-1]
+        weight = self.param("sru_weight", nn.initializers.ones, (c,))
+        bias = self.param("sru_bias", nn.initializers.zeros, (c,))
+        b, h, w, _ = x.shape
+        xg = x.transpose(0, 3, 1, 2).reshape(b, self.group_num, -1)
+        mean = jnp.mean(xg, axis=2, keepdims=True)
+        n = xg.shape[2]
+        var = jnp.var(xg, axis=2, keepdims=True) * (n / max(n - 1, 1))
+        xg = (xg - mean) / (jnp.sqrt(var) + 1e-10)
+        gn_x = xg.reshape(b, c, h, w).transpose(0, 2, 3, 1) * weight + bias
+        w_gamma = weight / jnp.sum(weight)
+        reweights = jax.nn.sigmoid(gn_x * w_gamma)
+        info = jnp.where(reweights >= self.gate_threshold, gn_x, 0.0)
+        noninfo = jnp.where(reweights < self.gate_threshold, gn_x, 0.0)
+        x11, x12 = jnp.split(info, 2, axis=-1)
+        x21, x22 = jnp.split(noninfo, 2, axis=-1)
+        x = jnp.concatenate([x11 + x22, x12 + x21], axis=-1)
+        # --- CRU ---
+        return CRU(self.op_channel, self.alpha, self.squeeze_radio,
+                   self.group_size, self.group_kernel_size)(x, train)
+
+
+# ---------------------------------------------------------------------------
+# Blocks (reference block.py)
+# ---------------------------------------------------------------------------
+
+class AddConv(nn.Module):
+    """conv + BN + LeakyReLU(0.1)/ReLU6 block. Reference block.py:24-45 (add_conv)."""
+    c2: int
+    k: int
+    s: int
+    leaky: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.k - 1) // 2
+        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((pad, pad), (pad, pad)), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(x)
+        return get_act("leaky" if self.leaky else "relu6")(x)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck. Reference block.py:553-565."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, self.k[0], 1)(x, train)
+        y = Conv(self.c2, self.k[1], 1, g=self.g)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class PconvBottleneck(nn.Module):
+    """PConv -> Conv3 -> 1x1. Reference block.py:568-586."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = PConv(4)(x, train)
+        y = Conv(c_, 3, 1, p=1)(y, train)
+        y = Conv2d(self.c2, 1, 1, g=self.g, bias=False)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class PconvBottleneckN(nn.Module):
+    """PConv -> 1x1 Conv -> 1x1. Reference block.py:589-607."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = PConv(4)(x, train)
+        y = Conv(2 * c_, 1, 1)(y, train)
+        y = Conv2d(self.c2, 1, 1, g=self.g, bias=False)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class SCConvBottleneck(nn.Module):
+    """SCConv -> 1x1 Conv(BN,SiLU). Reference block.py:610-627."""
+    c2: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = SCConv(x.shape[-1])(x, train)
+        y = Conv(self.c2, 1, 1)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class SCPWBottleneck(nn.Module):
+    """SCConv -> bare 1x1 (bias). Reference block.py:630-645."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = SCConv(x.shape[-1])(x, train)
+        y = Conv2d(self.c2, 1, 1, g=self.g, bias=True)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class SCConv3Bottleneck(nn.Module):
+    """SCConv -> Conv3(BN,SiLU). Reference block.py:648-662."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = SCConv(x.shape[-1])(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class Conv3SCBottleneck(nn.Module):
+    """Conv3(BN,SiLU) -> SCConv. Reference block.py:684-700."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 3, 1, g=self.g)(x, train)
+        y = SCConv(self.c2)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class SCPWPWBottleneck(nn.Module):
+    """SCConv -> 1x1 Conv(BN,SiLU) x2 -> bare 1x1. Reference block.py:665-681."""
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        y = SCConv(c1)(x, train)
+        y = Conv(2 * c1, 1, 1, g=self.g)(y, train)
+        y = Conv2d(self.c2, 1, 1, g=self.g, bias=False)(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class GhostBottleneck(nn.Module):
+    """Reference block.py:535-550."""
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1)(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act="identity")(y, train)
+        y = GhostConv(self.c2, 1, 1)(y, train)  # note: ref uses act=False on 2nd pw
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act="identity")(x, train)
+            sc = Conv(self.c2, 1, 1, act="identity")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else 0.0
+        return y + sc
+
+
+class C1(nn.Module):
+    """Reference block.py:341-352."""
+    c2: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, 1)(x, train)
+        z = y
+        for _ in range(self.n):
+            z = Conv(self.c2, 3)(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """Reference block.py:355-370."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1)(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for _ in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0)(a, train)
+        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C2f(nn.Module):
+    """Cross-stage partial with dense growth. Reference block.py:373-393.
+
+    `bottleneck` selects the inner block family, covering the fork's
+    FasterC2f(_N)/SCC2f/SC_PW_C2f/SC_Conv3_C2f/Conv3_SC_C2f/SC_PW_PW_C2f wrappers
+    (block.py:396-470).
+    """
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    bottleneck: str = "standard"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1)(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        ctor = {
+            "standard": lambda: Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0),
+            "pconv": lambda: PconvBottleneck(c, self.shortcut, self.g, 1.0),
+            "pconv_n": lambda: PconvBottleneckN(c, self.shortcut, self.g, 1.0),
+            "scconv": lambda: SCConvBottleneck(c, self.shortcut),
+            "sc_pw": lambda: SCPWBottleneck(c, self.shortcut, self.g),
+            "sc_conv3": lambda: SCConv3Bottleneck(c, self.shortcut, self.g),
+            "conv3_sc": lambda: Conv3SCBottleneck(c, self.shortcut, self.g),
+            "sc_pw_pw": lambda: SCPWPWBottleneck(c, self.shortcut, self.g),
+        }[self.bottleneck]
+        for _ in range(self.n):
+            ys.append(ctor()(ys[-1], train))
+        return Conv(self.c2, 1)(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """Reference block.py:473-486."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: Tuple[Tuple[int, int], ...] = ((1, 1), (3, 3))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1)(x, train)
+        for _ in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, self.k, 1.0)(a, train)
+        b = Conv(c_, 1, 1)(x, train)
+        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3x(nn.Module):
+    """C3 with cross (1,3)/(3,1) kernels. Reference block.py:489-496."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1)(x, train)
+        for _ in range(self.n):
+            y = CrossConv(c_, (1, 3))(a, train)
+            y = CrossConv(c_, (3, 1))(y, train)
+            a = a + y if self.shortcut else y
+        b = Conv(c_, 1, 1)(x, train)
+        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+
+
+class CrossConv(nn.Module):
+    """Rectangular-kernel Conv+BN+SiLU used by C3x."""
+    c2: int
+    k: Tuple[int, int] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kh, kw = self.k
+        x = nn.Conv(self.c2, (kh, kw),
+                    padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(x)
+        return jax.nn.silu(x)
+
+
+class RepC3(nn.Module):
+    """Reference block.py:499-512."""
+    c2: int
+    n: int = 3
+    e: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c2, 1, 1)(x, train)
+        for _ in range(self.n):
+            a = RepConv(c_)(a, train)
+        b = Conv(self.c2, 1, 1)(x, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, 1)(y, train)
+        return y
+
+
+class C3Ghost(nn.Module):
+    """Reference block.py:525-532."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1)(x, train)
+        for _ in range(self.n):
+            a = GhostBottleneck(c_)(a, train)
+        b = Conv(c_, 1, 1)(x, train)
+        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+
+
+class BottleneckCSP(nn.Module):
+    """Reference block.py:737-756."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1)(x, train)
+        for _ in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, e=1.0)(a, train)
+        y1 = Conv2d(c_, 1, 1, bias=False)(a, train)
+        y2 = Conv2d(c_, 1, 1, bias=False)(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(y)
+        return Conv(self.c2, 1, 1)(jax.nn.silu(y), train)
+
+
+class SPP(nn.Module):
+    """Reference block.py:306-320."""
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1)(x, train)
+        pools = [max_pool_same(x, k) for k in self.k]
+        return Conv(self.c2, 1, 1)(jnp.concatenate([x] + pools, axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Reference block.py:323-338."""
+    c2: int
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1)(x, train)
+        y1 = max_pool_same(x, self.k)
+        y2 = max_pool_same(y1, self.k)
+        y3 = max_pool_same(y2, self.k)
+        return Conv(self.c2, 1, 1)(jnp.concatenate([x, y1, y2, y3], axis=-1), train)
+
+
+class HGStem(nn.Module):
+    """Reference block.py:257-282."""
+    cm: int
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.cm, 3, 2, act="relu")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm // 2, 2, 1, p=0, act="relu")(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, 2, 1, p=0, act="relu")(x2, train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(self.cm, 3, 2, act="relu")(x, train)
+        return Conv(self.c2, 1, 1, act="relu")(x, train)
+
+
+class HGBlock(nn.Module):
+    """Reference block.py:285-303."""
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ys = [x]
+        for _ in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k)(ys[-1], train))
+            else:
+                ys.append(Conv(self.cm, self.k, act="relu")(ys[-1], train))
+        y = Conv(self.c2 // 2, 1, 1, act="relu")(jnp.concatenate(ys, axis=-1), train)
+        y = Conv(self.c2, 1, 1, act="relu")(y, train)
+        return y + x if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class Proto(nn.Module):
+    """Segmentation mask protos. Reference block.py:242-254."""
+    c_: int = 256
+    c2: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c_, 3)(x, train)
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), use_bias=True)(x)
+        x = Conv(self.c_, 3)(x, train)
+        return Conv(self.c2, 1)(x, train)
+
+
+class RFBblock(nn.Module):
+    """4-branch dilated receptive-field block. Reference block.py:703-734.
+
+    Output channels == input channels (4 branches of in/4 each, concatenated).
+    """
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // 4
+        b0 = Conv2d(inter, 1, 1, p=0)(x, train)
+        b1 = Conv2d(inter, 3, 1, p=1)(Conv2d(inter, 1, 1, p=0)(x, train), train)
+        b2 = Conv2d(inter, 1, 1, p=0)(x, train)
+        b2 = Conv2d(inter, 3, 1, p=1)(b2, train)
+        b2 = Conv2d(inter, 3, 1, p=2, d=2)(b2, train)
+        b3 = Conv2d(inter, 1, 1, p=0)(x, train)
+        b3 = Conv2d(inter, 5, 1, p=2)(b3, train)
+        b3 = Conv2d(inter, 3, 1, p=3, d=3)(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class AsffTribeLevel(nn.Module):
+    """Adaptive 3-level spatial feature fusion. Reference block.py:48-115.
+
+    Input: [deepest P5 (512ch, s32), P4 (512ch, s16), P3 (256ch, s8)] — dims
+    hardcoded [512, 512, 256] like the reference (L-scale only).
+    """
+    level: int
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        dim = [512, 512, 256]
+        inter = dim[self.level]
+        x0, x1, x2 = xs
+        if self.level == 0:
+            r0 = x0
+            r1 = nn.max_pool(x1, (2, 2), strides=(2, 2))
+            r2 = max_pool_same(x2, 3, 2)
+            r2 = AddConv(inter, 3, 2)(r2, train)
+            expand_c = 512
+        elif self.level == 1:
+            r0 = upsample_nearest(x0, 2)
+            r1 = x1
+            r2 = AddConv(inter, 3, 2)(x2, train)
+            expand_c = 512
+        else:
+            r0 = upsample_nearest(AddConv(inter, 1, 1)(x0, train), 4)
+            r1 = upsample_nearest(AddConv(inter, 1, 1)(x1, train), 2)
+            r2 = x2
+            expand_c = 256
+        compress_c = 8
+        w0 = AddConv(compress_c, 1, 1)(r0, train)
+        w1 = AddConv(compress_c, 1, 1)(r1, train)
+        w2 = AddConv(compress_c, 1, 1)(r2, train)
+        w = Conv2d(3, 1, 1, p=0)(jnp.concatenate([w0, w1, w2], axis=-1), train)
+        w = jax.nn.softmax(w, axis=-1)
+        fused = (r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3])
+        return AddConv(expand_c, 3, 1)(fused, train)
+
+
+class AsffDoubLevel(nn.Module):
+    """2-level ASFF. Reference block.py:118-162."""
+    level: int
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        dim = [512, 256]
+        inter = dim[self.level]
+        x0, x1 = xs
+        if self.level == 0:
+            r0 = x0
+            r1 = AddConv(inter, 3, 2)(x1, train)
+            expand_c = 512
+        else:
+            r0 = upsample_nearest(AddConv(inter, 1, 1)(x0, train), 2)
+            r1 = x1
+            expand_c = 256
+        compress_c = 16
+        w0 = AddConv(compress_c, 1, 1)(r0, train)
+        w1 = AddConv(compress_c, 1, 1)(r1, train)
+        w = Conv2d(2, 1, 1, p=0)(jnp.concatenate([w0, w1], axis=-1), train)
+        w = jax.nn.softmax(w, axis=-1)
+        fused = r0 * w[..., 0:1] + r1 * w[..., 1:2]
+        return AddConv(expand_c, 3, 1)(fused, train)
+
+
+class MFRU(nn.Module):
+    """Multi-scale feature reconstruct unit (SCConv-based). Reference block.py:164-217.
+
+    Deviation noted: the reference *shares* one scconv512/pwconv instance across
+    levels 0 and 1 (same nn.Module applied twice); we share identically by reusing
+    the same submodule instance.
+    """
+    level: int = 0  # unused; kept for yaml-arg parity
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        sc512 = SCConv(512)
+        sc256 = SCConv(256)
+        pw = Conv2d(256, 1, 1, p=0)
+        l0 = upsample_nearest(pw(sc512(xs[0], train), train), 4)
+        l1 = upsample_nearest(pw(sc512(xs[1], train), train), 2)
+        l2 = sc256(xs[2], train)
+        compress_c = 16
+        w0 = Conv2d(compress_c, 1, 1, p=0)(l0, train)
+        w1 = Conv2d(compress_c, 1, 1, p=0)(l1, train)
+        w2 = Conv2d(compress_c, 1, 1, p=0)(l2, train)
+        w = Conv2d(3, 1, 1, p=0)(jnp.concatenate([w0, w1, w2], axis=-1), train)
+        w = jax.nn.softmax(w, axis=-1)
+        fused = l0 * w[..., 0:1] + l1 * w[..., 1:2] + l2 * w[..., 2:3]
+        return sc256(fused, train)
+
+
+class Classify(nn.Module):
+    """Classification head. Reference head.py:244-260."""
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = 1280
+        x = Conv(c_, self.k, self.s)(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.c2)(x)

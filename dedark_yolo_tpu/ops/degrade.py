@@ -1,0 +1,16 @@
+"""Low-light degradation synthesis (the reference's 'lowlight_maker').
+
+Reference: img ** dark_param gamma-crush, applied on device during training
+(ultralytics/models/yolo/detect/train.py:79,103) and offline in
+ultralytics/utils/lowlight_process.py:10-96. A single pow — kept as its own
+function so it shows up by name in traces and can be reused by the offline tool.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def lowlight_degrade(img, dark_param):
+    """Gamma-crush a [0,1] image batch: img ** dark_param."""
+    return jnp.power(jnp.clip(img, 0.0, 1.0), dark_param)
