@@ -1,0 +1,91 @@
+"""Benchmark: fused enhance+detect+NMS throughput at 640px on one TPU chip.
+
+Measures steady-state images/sec through ONE compiled XLA graph:
+letterboxed input -> lowlight_recovery (5-filter enhancement) -> YOLOv8-L
+backbone + 3x AsffTribeLevel -> Detect decode -> fixed-shape NMS. This is
+BASELINE.json's headline metric ("images/sec/chip at 640px fused
+enhance+detect+NMS").
+
+vs_baseline: the reference publishes no numbers (BASELINE.json published: {});
+BASELINE.md's north star is ">=5x Ultralytics-on-GPU images/sec/chip". We use
+100 img/s as the stand-in for Ultralytics YOLOv8-L end-to-end (preprocess+
+inference+NMS) on a datacenter GPU — a generous estimate for the fp32 batch-4
+configuration the reference trains with (default.yaml:7-10, amp: False) — so
+vs_baseline = measured / 100.0 and the 5x target means vs_baseline >= 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_IMG_PER_SEC = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dedark_yolo_tpu.cfg import model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.nn.heads import decode_detections
+    from dedark_yolo_tpu.ops.nms import non_max_suppression
+
+    imgsz = 640
+    batch = 32
+    warmup, iters = 3, 10
+
+    d = model_yaml_load("yolov8l.yaml")  # flagship: lowlight_recovery + ASFF, L
+    d["nc"] = 3
+    model = DetectionModel(d)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    # bf16 weights for inference (TPU-native precision; val-parity runs use fp32)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables["params"])
+    batch_stats = variables["batch_stats"]
+
+    @jax.jit
+    def fused(params, batch_stats, img_u8):
+        img = img_u8.astype(jnp.bfloat16) / 255.0
+        v = {"params": params, "batch_stats": batch_stats}
+        raw = model.module.apply(v, img, train=False)
+        boxes, scores = decode_detections(raw, model.nc, model.strides,
+                                          model.reg_max)
+        dets, counts = non_max_suppression(
+            boxes.astype(jnp.float32), scores.astype(jnp.float32),
+            conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=2048,
+            multi_label=False)
+        return dets, counts
+
+    # distinct input buffers per iteration: some remote-device transports dedupe
+    # identical executions, which inflates throughput by >10x
+    rng = np.random.default_rng(0)
+    imgs = [jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3),
+                                     dtype=np.uint8)) for _ in range(4)]
+
+    for i in range(warmup):
+        dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
+        jax.block_until_ready(dets)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
+        jax.block_until_ready(dets)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": "images/sec/chip fused enhance+detect+NMS @640 bf16 (Dedark-YOLOv8L+ASFF)",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

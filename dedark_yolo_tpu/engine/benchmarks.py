@@ -1,0 +1,67 @@
+"""Benchmark harness (counterpart of ultralytics/utils/benchmarks.py:47-149).
+
+The reference exports to every GPU/mobile format and vals each; for the TPU
+stack the relevant axes are precision (fp32/bf16) and batch size on the chip.
+Produces a table of throughput (and mAP when a dataset is provided)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import LOGGER
+
+
+def benchmark(yolo, imgsz=640, data=None, batch_sizes=(1, 8, 32), warmup=2,
+              iters=5, **kwargs):
+    from ..nn.heads import decode_detections
+    from ..ops.nms import non_max_suppression
+
+    model = yolo.model
+    yolo._ensure_params(imgsz)
+    rows = []
+    for half in (False, True):
+        dtype = jnp.bfloat16 if half else jnp.float32
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype in (jnp.float32, jnp.bfloat16)
+            else x, yolo.params)
+
+        for bs in batch_sizes:
+            @jax.jit
+            def fused(params, batch_stats, img_u8):
+                img = img_u8.astype(dtype) / 255.0
+                v = {"params": params, "batch_stats": batch_stats}
+                raw = model.module.apply(v, img, train=False)
+                boxes, scores = decode_detections(raw, model.nc, model.strides,
+                                                  model.reg_max)
+                return non_max_suppression(boxes.astype(jnp.float32),
+                                           scores.astype(jnp.float32),
+                                           conf_thres=0.25, iou_thres=0.45,
+                                           max_det=300, max_nms=2048,
+                                           multi_label=False)
+
+            img = jnp.asarray(np.random.default_rng(0).integers(
+                0, 255, (bs, imgsz, imgsz, 3), dtype=np.uint8))
+            try:
+                for _ in range(warmup):
+                    jax.block_until_ready(fused(params, yolo.batch_stats, img))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    jax.block_until_ready(fused(params, yolo.batch_stats, img))
+                dt = time.perf_counter() - t0
+                ips = bs * iters / dt
+                rows.append({"precision": "bf16" if half else "fp32",
+                             "batch": bs, "img_per_sec": round(ips, 2),
+                             "ms_per_img": round(1000 / ips, 3)})
+                LOGGER.info(f"bench {'bf16' if half else 'fp32'} bs={bs}: "
+                            f"{ips:.1f} img/s")
+            except Exception as e:
+                rows.append({"precision": "bf16" if half else "fp32",
+                             "batch": bs, "error": str(e)[:100]})
+    if data is not None:
+        metrics = yolo.val(data=data, imgsz=imgsz, **kwargs)
+        rows.append({"mAP50-95": metrics.get("metrics/mAP50-95(B)")})
+    return rows

@@ -1,0 +1,53 @@
+"""Exporter: serialize the compiled inference graph + weights.
+
+The reference exports to 11 GPU/mobile formats via per-format toolchains
+(ultralytics/engine/exporter.py:74-938). For a TPU-native stack the deployment
+artifacts are different: StableHLO (the portable XLA IR any XLA runtime can load),
+a weights npz, and the checkpoint container itself. ONNX/TensorRT/CoreML are GPU
+deployment paths out of scope for TPU serving.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import LOGGER, save_checkpoint
+
+
+class Exporter:
+    def __init__(self, args):
+        self.args = args
+
+    def __call__(self, model, params, batch_stats):
+        a = self.args
+        fmt = (a.format or "stablehlo").lower()
+        imgsz = a.imgsz if isinstance(a.imgsz, int) else 640
+        out_dir = Path(a.project or "runs/export")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        batch = max(1, int(a.batch))
+
+        def infer(img):
+            variables = {"params": params, "batch_stats": batch_stats}
+            raw = model.module.apply(variables, img, train=False)
+            from ..nn.heads import decode_detections
+            return decode_detections(raw, model.nc, model.strides, model.reg_max)
+
+        example = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        if fmt == "stablehlo":
+            lowered = jax.jit(infer).lower(example)
+            path = out_dir / "model.stablehlo.mlir"
+            path.write_text(lowered.as_text())
+            LOGGER.info(f"exported StableHLO to {path}")
+            return str(path)
+        if fmt in ("npz", "savedmodel_npz", "weights"):
+            path = out_dir / "model_weights.npz"
+            save_checkpoint(path, params=params, batch_stats=batch_stats,
+                            model_yaml=model.yaml)
+            LOGGER.info(f"exported weights to {path}")
+            return str(path)
+        raise ValueError(f"unsupported export format '{fmt}' "
+                         f"(supported: stablehlo, npz)")

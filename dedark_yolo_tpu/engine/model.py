@@ -1,0 +1,138 @@
+"""YOLO facade: the user-level API (counterpart of ultralytics/engine/model.py).
+
+YOLO('yolov8l.yaml')   -> new model from architecture yaml (model.py:84-111 _new)
+YOLO('best.npz')       -> model + weights from a checkpoint (model.py:114-135 _load)
+.train/.val/.predict/.export/.benchmark delegate to the engine classes like the
+reference TASK_MAP dispatch (model.py:17-26, 324-358).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT
+from ..nn.graph import DetectionModel
+from ..utils import LOGGER
+from ..utils.checkpoint import load_checkpoint, restore_tree
+
+
+class YOLO:
+    def __init__(self, model="yolov8l.yaml", task="detect"):
+        self.task = task
+        self.overrides = {}
+        self.params = None
+        self.batch_stats = None
+        self.ckpt_path = None
+        self.metrics = None
+        model = str(model)
+        if model.endswith((".yaml", ".yml")):
+            self._new(model)
+        elif model.endswith(".npz"):
+            self._load(model)
+        else:
+            raise ValueError(
+                f"unsupported model spec '{model}' (expect .yaml or .npz checkpoint)")
+
+    def _new(self, cfg_path):
+        d = model_yaml_load(cfg_path)
+        self.model = DetectionModel(d)
+        self.model_yaml = d
+        self.overrides["model"] = cfg_path
+
+    def _load(self, ckpt_path):
+        meta, flat = load_checkpoint(ckpt_path)
+        self.model = DetectionModel(meta["model_yaml"])
+        self.model_yaml = meta["model_yaml"]
+        self.ckpt_path = ckpt_path
+        self.ckpt_meta = meta
+        train_args = meta.get("train_args") or {}
+        imgsz = int(train_args.get("imgsz", 640))
+        example = jax.eval_shape(self.model.module.init, jax.random.PRNGKey(0),
+                                 jax.ShapeDtypeStruct((1, imgsz, imgsz, 3),
+                                                      np.float32))
+        section = "ema" if any(k.startswith("ema/") for k in flat) else "params"
+        self.params = restore_tree(flat, section, example["params"])
+        self.batch_stats = restore_tree(flat, "batch_stats", example["batch_stats"])
+        # carry forward training args like the reference (model.py:129-133)
+        for k in ("imgsz", "data", "single_cls"):
+            if k in train_args:
+                self.overrides[k] = train_args[k]
+        if "names" in train_args:
+            self.model.names = train_args["names"]
+
+    # ------------------------------------------------------------------ modes
+    def _ensure_params(self, imgsz=640):
+        if self.params is None:
+            LOGGER.info("initializing random weights (no checkpoint loaded)")
+            v = self.model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+            self.params, self.batch_stats = v["params"], v["batch_stats"]
+
+    def train(self, **kwargs):
+        from .trainer import DetectionTrainer
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        trainer = DetectionTrainer(overrides)
+        self.trainer = trainer
+        metrics = trainer.train()
+        # reload best like the reference (model.py:352-358)
+        best = trainer.wdir / "best.npz"
+        if best.is_file():
+            self._load(str(best))
+        self.metrics = metrics
+        return metrics
+
+    def val(self, **kwargs):
+        from .validator import DetectionValidator
+        overrides = {**self.overrides, **kwargs, "mode": "val"}
+        args = get_cfg(DEFAULT_CFG_DICT, overrides)
+        self._ensure_params(args.imgsz)
+        if hasattr(self.model, "names") and isinstance(self.model.names, dict):
+            pass
+        validator = DetectionValidator(args=args)
+        self.metrics = validator(model=self.model, params=self.params,
+                                 batch_stats=self.batch_stats)
+        return self.metrics
+
+    def predict(self, source, stream=False, **kwargs):
+        from .predictor import DetectionPredictor
+        overrides = {**self.overrides, **kwargs, "mode": "predict"}
+        args = get_cfg(DEFAULT_CFG_DICT, overrides)
+        self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
+        names = getattr(self.model, "names", {})
+        save_dir = None
+        if args.project:
+            save_dir = str(Path(args.project) / (args.name or "predict"))
+        predictor = DetectionPredictor(args=args, model=self.model,
+                                       params=self.params,
+                                       batch_stats=self.batch_stats, names=names,
+                                       save_dir=save_dir)
+        self.predictor = predictor
+        return predictor(source, stream=stream)
+
+    def __call__(self, source, **kwargs):
+        kwargs.setdefault("conf", 0.4)  # reference model.py:213 default override
+        return self.predict(source, **kwargs)
+
+    def export(self, **kwargs):
+        from .exporter import Exporter
+        overrides = {**self.overrides, **kwargs, "mode": "export"}
+        args = get_cfg(DEFAULT_CFG_DICT, overrides)
+        self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
+        return Exporter(args)(self.model, self.params, self.batch_stats)
+
+    def benchmark(self, **kwargs):
+        from .benchmarks import benchmark
+        overrides = {**self.overrides, **kwargs}
+        return benchmark(self, **overrides)
+
+    @property
+    def names(self):
+        return getattr(self.model, "names", {})
+
+    def info(self):
+        self._ensure_params()
+        n = self.model.num_params({"params": self.params})
+        LOGGER.info(f"model: {len(self.model.specs)} layers, {n:,} parameters")
+        return len(self.model.specs), n

@@ -1,0 +1,175 @@
+"""DetectionPredictor: batched streaming inference through ONE compiled graph.
+
+Counterpart of the reference BasePredictor/DetectionPredictor
+(ultralytics/engine/predictor.py:118-330, models/yolo/detect/predict.py). The
+reference letterboxes on the host, forwards, then NMS-loops per image; here
+letterbox happens on the host (cv2, cheap) but enhance+backbone+decode+NMS is a
+single fixed-shape jitted function, so batches stream through one XLA program.
+Boxes are scaled back to original image space with the reference's
+letterbox-inverse (ops.py:95-125).
+
+Optionally returns the lowlight_recovery-enhanced image (save_enhanced) without a
+separate forward: the enhancement layer output is captured in the same graph via
+flax's intermediate capture.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import get_cfg, DEFAULT_CFG_DICT
+from ..data.augment import letterbox
+from ..data.dataset import IMG_FORMATS
+from ..ops.boxes import scale_boxes
+from ..ops.nms import non_max_suppression
+from .results import Results
+
+
+def load_source(source):
+    """Yield (path, BGR image) for a file, dir, list, or ndarray source
+    (counterpart of ultralytics/data/loaders.py LoadImages/LoadPilAndNumpy)."""
+    import cv2
+    if isinstance(source, np.ndarray):
+        yield "array", source
+        return
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from load_source(s)
+        return
+    p = Path(source)
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix.lower() in IMG_FORMATS:
+                img = cv2.imread(str(f))
+                if img is not None:
+                    yield str(f), img
+    elif p.is_file():
+        img = cv2.imread(str(p))
+        if img is None:
+            raise FileNotFoundError(f"could not read image: {p}")
+        yield str(p), img
+    else:
+        raise FileNotFoundError(f"source not found: {source}")
+
+
+class DetectionPredictor:
+    def __init__(self, args=None, model=None, params=None, batch_stats=None,
+                 names=None, save_dir=None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+        if self.args.conf is None:
+            self.args.conf = 0.25  # predict default (reference model.py:213)
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.names = names or (model.names if model else {})
+        self.save_dir = Path(save_dir or "runs/detect/predict")
+        self._step = None
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
+
+    def _make_step(self):
+        a = self.args
+        model = self.model
+        conf, iou = float(a.conf), float(a.iou)
+        max_det, max_nms = int(a.max_det), int(a.max_nms)
+        want_enhanced = bool(a.save_enhanced)
+        dtype = jnp.bfloat16 if a.half else jnp.float32
+
+        def step(params, batch_stats, img_u8):
+            img = img_u8.astype(dtype) / 255.0
+            variables = {"params": params, "batch_stats": batch_stats}
+            if want_enhanced:
+                raw, state = model.module.apply(
+                    variables, img, train=False, mutable=["intermediates"],
+                    capture_intermediates=lambda mdl, name: "LowlightRecovery"
+                    in type(mdl).__name__)
+                inter = state["intermediates"]
+                enhanced = jax.tree_util.tree_leaves(inter)[0]
+            else:
+                raw = model.module.apply(variables, img, train=False)
+                enhanced = None
+            from ..nn.heads import decode_detections
+            boxes, scores = decode_detections(raw, model.nc, model.strides,
+                                              model.reg_max)
+            dets, counts = non_max_suppression(
+                boxes.astype(jnp.float32), scores.astype(jnp.float32),
+                conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=max_nms,
+                multi_label=False, agnostic=bool(a.agnostic_nms))
+            out = {"dets": dets, "counts": counts}
+            if enhanced is not None:
+                out["enhanced"] = jnp.clip(enhanced.astype(jnp.float32), 0, 1)
+            return out
+
+        return jax.jit(step)
+
+    def __call__(self, source, stream=False):
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source):
+        a = self.args
+        if self._step is None:
+            self._step = self._make_step()
+        imgsz = a.imgsz if isinstance(a.imgsz, int) else a.imgsz[0]
+        batch_size = max(1, int(a.batch))
+        buf_paths, buf_imgs, buf_orig = [], [], []
+
+        def flush():
+            nonlocal buf_paths, buf_imgs, buf_orig
+            if not buf_imgs:
+                return
+            n = len(buf_imgs)
+            # pad the tail batch to the static batch size
+            while len(buf_imgs) < batch_size:
+                buf_imgs.append(np.zeros_like(buf_imgs[0]))
+            t0 = time.perf_counter()
+            arr = np.stack(buf_imgs)
+            out = self._step(self.params, self.batch_stats, jnp.asarray(arr))
+            dets = np.asarray(out["dets"])
+            counts = np.asarray(out["counts"])
+            enhanced = (np.asarray(out["enhanced"]) if "enhanced" in out else None)
+            t_inf = (time.perf_counter() - t0) / n * 1000
+
+            for i in range(n):
+                k = int(counts[i])
+                det = dets[i, :k].copy()
+                orig = buf_orig[i]
+                if k:
+                    det[:, :4] = np.asarray(scale_boxes(
+                        (imgsz, imgsz), jnp.asarray(det[:, :4]), orig.shape[:2]))
+                res = Results(
+                    orig_img=np.ascontiguousarray(orig[..., ::-1]),
+                    path=buf_paths[i], names=self.names, boxes=det,
+                    speed={"inference": t_inf},
+                    enhanced_img=(enhanced[i] if enhanced is not None else None))
+                if a.save or a.save_txt:
+                    self._write(res)
+                yield res
+            buf_paths, buf_imgs, buf_orig = [], [], []
+
+        for path, img in load_source(source):
+            lb, _, _ = letterbox(img, imgsz)
+            buf_paths.append(path)
+            buf_imgs.append(np.ascontiguousarray(lb[..., ::-1]))  # RGB
+            buf_orig.append(img)
+            if len(buf_imgs) == batch_size:
+                yield from flush()
+        yield from flush()
+
+    def _write(self, res):
+        import cv2
+        stem = Path(res.path).stem if res.path != "array" else "image"
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        if self.args.save:
+            res.save(self.save_dir / f"{stem}.jpg")
+        if self.args.save_txt:
+            res.save_txt(self.save_dir / "labels" / f"{stem}.txt",
+                         save_conf=self.args.save_conf)
+        if self.args.save_enhanced and res.enhanced_img is not None:
+            enh = (res.enhanced_img * 255).astype(np.uint8)
+            cv2.imwrite(str(self.save_dir / f"{stem}_enhanced.jpg"),
+                        enh[..., ::-1])

@@ -1,0 +1,104 @@
+"""Results/Boxes containers (counterpart of ultralytics/engine/results.py:66,364).
+
+Numpy-backed (post-device): a Results wraps one image's detections in original
+image space with .plot()/.save_txt()/.tojson() like the reference API.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+class Boxes:
+    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 6)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xyxy(self):
+        return self.data[:, :4]
+
+    @property
+    def conf(self):
+        return self.data[:, 4]
+
+    @property
+    def cls(self):
+        return self.data[:, 5]
+
+    @property
+    def xywh(self):
+        b = self.data[:, :4]
+        return np.stack([(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
+                         b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], 1)
+
+    @property
+    def xyxyn(self):
+        h, w = self.orig_shape
+        return self.xyxy / np.asarray([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self):
+        h, w = self.orig_shape
+        return self.xywh / np.asarray([w, h, w, h], np.float32)
+
+
+class Results:
+    def __init__(self, orig_img, path, names, boxes=None, speed=None,
+                 enhanced_img=None):
+        self.orig_img = orig_img            # RGB uint8
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)),
+                           self.orig_shape)
+        self.speed = speed or {}
+        self.enhanced_img = enhanced_img    # optional lowlight_recovery output
+
+    def __len__(self):
+        return len(self.boxes)
+
+    def plot(self, line_width=None):
+        from ..utils.plotting import annotate_image
+        return annotate_image(self.orig_img, self.boxes.data, self.names,
+                              line_width)
+
+    def save(self, filename):
+        import cv2
+        img = self.plot()
+        Path(filename).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(filename), img[..., ::-1])
+        return filename
+
+    def save_txt(self, txt_file, save_conf=False):
+        lines = []
+        h, w = self.orig_shape
+        for d in self.boxes.data:
+            x1, y1, x2, y2, conf, c = d
+            cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+            bw, bh = (x2 - x1) / w, (y2 - y1) / h
+            row = f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}"
+            if save_conf:
+                row += f" {conf:.6f}"
+            lines.append(row)
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+    def tojson(self):
+        out = []
+        for d in self.boxes.data:
+            c = int(d[5])
+            out.append({"name": self.names.get(c, str(c)), "class": c,
+                        "confidence": float(d[4]),
+                        "box": {"x1": float(d[0]), "y1": float(d[1]),
+                                "x2": float(d[2]), "y2": float(d[3])}})
+        return json.dumps(out, indent=2)

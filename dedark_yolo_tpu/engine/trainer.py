@@ -1,0 +1,380 @@
+"""DetectionTrainer: the full training loop as ONE jitted XLA step.
+
+Counterpart of the reference BaseTrainer/DetectionTrainer
+(ultralytics/engine/trainer.py:164-467, models/yolo/detect/train.py:42-111), with
+the eager-PyTorch artifacts redesigned for TPU:
+
+  - the per-batch device->host->device dark-channel round trip (detect/train.py:81-97)
+    is gone: degrade -> dark-channel priors -> enhance -> forward -> loss -> grads
+    -> optimizer -> EMA is a single jitted function of fixed shapes;
+  - DDP re-exec/NCCL (trainer.py:174-201) is replaced by a jax.sharding Mesh:
+    params replicated, batch sharded over 'data', XLA inserts the grad all-reduce;
+  - AMP GradScaler is unnecessary (bf16 on TPU needs no loss scaling);
+  - grad accumulation to nbs=64 (trainer.py:340-345) via optax.MultiSteps;
+  - 3 param groups (bias / norm / weights with decay, trainer.py:611-665) via
+    optax.multi_transform, with per-step warmup of lr, bias-lr, and momentum
+    matching trainer.py:317-327's np.interp ramps.
+
+Checkpointing, CSV metrics, EarlyStopping, EMA-val and best/last fitness ckpts
+mirror trainer.py:366-433 and torch_utils.py:344-377,478-518.
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT, yaml_save
+from .optim import init_opt_state, opt_update, label_params
+from ..data import (YOLODataset, DataLoader, TrainTransforms, ValTransforms,
+                    check_det_dataset)
+from ..losses import detection_loss
+from ..nn.graph import DetectionModel
+from ..ops.dark_channel import dark_channel_priors
+from ..ops.degrade import lowlight_degrade
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils import LOGGER, ema_init, ema_update, save_checkpoint
+from ..utils.checkpoint import load_checkpoint, restore_tree
+
+
+class EarlyStopping:
+    """Fitness-plateau stopper (reference torch_utils.py:478-518)."""
+
+    def __init__(self, patience=50):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch, fitness):
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class DetectionTrainer:
+    def __init__(self, overrides=None, _callbacks=None):
+        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
+        from ..utils.callbacks import get_default_callbacks
+        self.callbacks = _callbacks or get_default_callbacks()
+        self.run_callbacks = lambda event: [cb(self) for cb in
+                                            self.callbacks.get(event, [])]
+        # fork flags (reference trainer.py:73-78)
+        self.lowlight_FLAG = bool(self.args.lowlight_FLAG)
+        self.dedark_FLAG = bool(self.args.dedark_FLAG)
+        self.dark_param = float(self.args.dark_param)
+        self.save_dir = self._get_save_dir()
+        self.wdir = self.save_dir / "weights"
+        self.csv = self.save_dir / "results.csv"
+        self.best_fitness = 0.0
+        self.epoch = 0
+        self.metrics = {}
+        self.data = check_det_dataset(self.args.data) if self.args.data else None
+
+    def _get_save_dir(self):
+        project = Path(self.args.project or "runs/detect")
+        name = self.args.name or "train"
+        d = project / name
+        if d.exists() and not self.args.exist_ok and not self.args.resume:
+            for i in range(2, 9999):
+                d = project / f"{name}{i}"
+                if not d.exists():
+                    break
+        return d
+
+    # ------------------------------------------------------------------ setup
+    def get_model(self):
+        yaml_path = self.args.model or "yolov8l.yaml"
+        d = model_yaml_load(yaml_path)
+        return DetectionModel(d, nc=self.data["nc"])
+
+    def build_optimizer(self, nb):
+        """Optimizer choice + LR/momentum schedules.
+
+        Reference trainer.py:258-262 (auto selection), 317-327 (warmup interp),
+        611-665 (3 param groups). The optimizer itself is engine/optim.py; this
+        computes the per-step hyperparameters fed into the jitted step.
+        """
+        a = self.args
+        epochs = max(int(a.epochs), 1)
+        if a.optimizer == "auto":
+            iterations = nb * epochs
+            use_adamw = iterations < 10000
+            lr0 = round(0.002 * 5 / (4 + self.data["nc"]), 6) if use_adamw else a.lr0
+            momentum = 0.9 if use_adamw else a.momentum
+            opt_name = "adamw" if use_adamw else "sgd"
+        else:
+            opt_name = "adamw" if a.optimizer.lower() in (
+                "adamw", "adam", "nadam", "radam") else "sgd"
+            lr0, momentum = a.lr0, a.momentum
+        self.opt_name, self.lr0, self.momentum = opt_name, lr0, momentum
+
+        lf = ((lambda e: max(1 - e / epochs, 0) * (1.0 - a.lrf) + a.lrf)
+              if not a.cos_lr else
+              (lambda e: ((1 - math.cos(e * math.pi / epochs)) / 2) * (a.lrf - 1) + 1))
+        self.lf = lf
+        nw = max(round(a.warmup_epochs * nb), 100) if a.warmup_epochs > 0 else -1
+
+        def lr_at(step, group="weight"):
+            base = lr0 * lf(int(step / nb))
+            if nw > 0 and step < nw:
+                start = a.warmup_bias_lr if group == "bias" else 0.0
+                return float(np.interp(step, [0, nw], [start, base]))
+            return float(base)
+
+        def momentum_at(step):
+            if nw > 0 and step < nw:
+                return float(np.interp(step, [0, nw], [a.warmup_momentum, momentum]))
+            return float(momentum)
+
+        self._lr_at, self._momentum_at = lr_at, momentum_at
+        # grad accumulation to nominal batch size 64 (trainer.py:253-255)
+        self.accumulate = max(round(a.nbs / a.batch), 1)
+
+    # -------------------------------------------------------------- train step
+    def make_train_step(self, model, labels):
+        a = self.args
+        hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
+        strides = model.strides
+        nc = model.nc
+        lowlight = self.lowlight_FLAG
+        dedark = self.dedark_FLAG
+        dark_param = self.dark_param
+        use_computed_priors = (getattr(a, "prior_mode", "default") == "computed")
+
+        def loss_fn(params, batch_stats, batch):
+            clean = batch["img"].astype(jnp.float32) / 255.0
+            dedark_A, IcA = None, None
+            if dedark and lowlight:
+                # reference uses clean = clean ** dark_param then img = clean
+                # (detect/train.py:79,100): the degraded image is BOTH input and
+                # recovery target, so the recovery MSE is 0 in that branch — we
+                # keep the standard semantic: degrade input, recover to clean.
+                img = lowlight_degrade(clean, dark_param)
+                if use_computed_priors:
+                    dedark_A, IcA = dark_channel_priors(img)
+            elif lowlight:
+                img = lowlight_degrade(clean, dark_param)
+            else:
+                img = clean
+            variables = {"params": params, "batch_stats": batch_stats}
+            raw, new_stats = model.apply_train(variables, img, dedark_A, IcA)
+            lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
+                      "mask_gt": batch["mask_gt"]}
+            # recovery loss: model's enhanced output vs clean target would need
+            # the enhanced image; reference defines it as mse(degraded, clean)
+            # computed in preprocess (detect/train.py:108) — same here.
+            lbatch["recovery_loss"] = jnp.mean((img - clean) ** 2)
+            total, items = detection_loss(raw, lbatch, nc=nc, strides=strides,
+                                          hyp=hyp)
+            return total, (items, new_stats)
+
+        accumulate = self.accumulate
+        wd = float(a.weight_decay)
+        kind = self.opt_name
+
+        def train_step(params, batch_stats, opt_state, ema_params, ema_updates,
+                       batch, lr_bias, lr, momentum):
+            (total, (items, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch)
+            params, opt_state = opt_update(
+                params, grads, opt_state, labels, kind=kind, lr_bias=lr_bias,
+                lr=lr, momentum=momentum, weight_decay=wd, accumulate=accumulate)
+            ema_params, ema_updates = ema_update(ema_params, params, ema_updates)
+            return params, new_stats, opt_state, ema_params, ema_updates, total, items
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4))
+
+    # -------------------------------------------------------------------- train
+    def train(self):
+        a = self.args
+        assert self.data, "data yaml required for training"
+        self.run_callbacks("on_pretrain_routine_start")
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        yaml_save(self.save_dir / "args.yaml", dict(vars(a)))
+
+        if a.mesh_shape:
+            mesh = make_mesh(shape=tuple(a.mesh_shape), axes=tuple(a.mesh_axes or ("data",)))
+        else:
+            # use the largest device count that divides the global batch
+            devs = jax.devices()
+            n = len(devs)
+            while n > 1 and a.batch % n != 0:
+                n -= 1
+            mesh = make_mesh(devices=devs[:n])
+        n_dev = mesh.devices.size
+        if a.batch % n_dev != 0:
+            raise ValueError(f"batch {a.batch} must divide evenly over {n_dev} devices")
+        LOGGER.info(f"mesh: {n_dev} device(s) on axis 'data'; global batch {a.batch}")
+
+        # data
+        hyp_aug = {k: getattr(a, k) for k in
+                   ("mosaic", "mixup", "hsv_h", "hsv_s", "hsv_v", "degrees",
+                    "translate", "scale", "shear", "perspective", "flipud", "fliplr")}
+        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"],
+                               cache=a.cache, fraction=a.fraction,
+                               single_cls=a.single_cls)
+        self.train_tf = TrainTransforms(hyp_aug, imgsz=a.imgsz)
+        train_dl = DataLoader(train_ds, self.train_tf, a.batch,
+                              max_boxes=a.max_boxes, seed=a.seed, workers=a.workers,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
+        nb = len(train_dl)
+        assert nb > 0, "empty train loader (batch too large for dataset?)"
+
+        # model + state
+        model = self.get_model()
+        self.model = model
+        rng = jax.random.PRNGKey(a.seed)
+        variables = model.init(rng, imgsz=a.imgsz, batch=1)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        self.build_optimizer(nb)
+        labels = label_params(params)
+        opt_state = init_opt_state(params)
+        ema_params = ema_init(params)
+        ema_updates = jnp.zeros((), jnp.int32)
+
+        start_epoch = 0
+        if a.resume:
+            start_epoch, params, batch_stats, ema_params, ema_updates, opt_state = \
+                self._resume(params, batch_stats, ema_params, ema_updates, opt_state)
+
+        # replicate state over mesh
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+        opt_state = replicate(mesh, opt_state)
+        ema_params = replicate(mesh, ema_params)
+
+        train_step = self.make_train_step(model, labels)
+        stopper = EarlyStopping(a.patience)
+        n_params = model.num_params({"params": params})
+        LOGGER.info(f"{self.opt_name} optimizer, lr0={self.lr0}, "
+                    f"accumulate={self.accumulate}, params={n_params:,}")
+        self.run_callbacks("on_train_start")
+
+        t_train = time.time()
+        step = 0
+        stop = False
+        for epoch in range(start_epoch, a.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
+            train_dl.set_epoch(epoch)
+            # close_mosaic (reference trainer.py close_mosaic / dataset.py:152-157)
+            if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
+                self.train_tf.mosaic_enabled = False
+            t0 = time.time()
+            mloss = np.zeros(3)
+            for bi, batch in enumerate(train_dl):
+                self.run_callbacks("on_train_batch_start")
+                dev_batch = shard_batch(mesh, batch)
+                (params, batch_stats, opt_state, ema_params, ema_updates,
+                 total, items) = train_step(
+                    params, batch_stats, opt_state, ema_params, ema_updates,
+                    dev_batch, jnp.float32(self._lr_at(step, "bias")),
+                    jnp.float32(self._lr_at(step, "weight")),
+                    jnp.float32(self._momentum_at(step)))
+                mloss = (mloss * bi + np.asarray(items)) / (bi + 1)
+                step += 1
+                self.run_callbacks("on_train_batch_end")
+            epoch_time = time.time() - t0
+            lr_now = self._lr_at(step, "weight")
+
+            # per-epoch validation with EMA params, fp32 (validator.py:102-111)
+            fitness = 0.0
+            metrics = {}
+            if a.val and jax.process_index() == 0:
+                from .validator import DetectionValidator
+                validator = DetectionValidator(
+                    args=get_cfg(dict(vars(a)), {"conf": 0.001}), save_dir=self.save_dir,
+                    data=self.data)
+                metrics = validator(model=model, params=ema_params,
+                                    batch_stats=batch_stats, mesh=mesh)
+                fitness = metrics.get("fitness", 0.0)
+            self.metrics = metrics
+
+            LOGGER.info(
+                f"epoch {epoch + 1}/{a.epochs} box {mloss[0]:.4f} cls {mloss[1]:.4f} "
+                f"dfl {mloss[2]:.4f} lr {lr_now:.5f} fitness {fitness:.4f} "
+                f"({epoch_time:.1f}s)")
+            self._save_csv(epoch, mloss, metrics, lr_now)
+
+            if fitness >= self.best_fitness:
+                self.best_fitness = fitness
+            if a.save and jax.process_index() == 0:
+                self._save_ckpt(params, batch_stats, ema_params, ema_updates,
+                                opt_state, epoch, fitness)
+            self.run_callbacks("on_fit_epoch_end")
+            if stopper(epoch, fitness):
+                LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
+                            f"(no improvement for {a.patience} epochs)")
+                stop = True
+            if stop:
+                break
+
+        LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
+                    f"results in {self.save_dir}")
+        if a.plots:
+            try:
+                from ..utils.plotting import plot_results
+                plot_results(self.csv)
+            except Exception as e:  # plotting must never kill a run
+                LOGGER.info(f"plot_results failed: {e}")
+        self.run_callbacks("on_train_end")
+        return self.metrics
+
+    # ---------------------------------------------------------------- persist
+    def _save_csv(self, epoch, mloss, metrics, lr):
+        keys = ["epoch", "train/box_loss", "train/cls_loss", "train/dfl_loss",
+                "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)",
+                "metrics/mAP50-95(B)", "lr"]
+        vals = [epoch, *mloss.tolist(),
+                metrics.get("metrics/precision(B)", 0.0),
+                metrics.get("metrics/recall(B)", 0.0),
+                metrics.get("metrics/mAP50(B)", 0.0),
+                metrics.get("metrics/mAP50-95(B)", 0.0), lr]
+        write_header = not self.csv.exists()
+        with open(self.csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if write_header:
+                w.writerow(keys)
+            w.writerow(vals)
+
+    def _gather_host(self, tree):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+    def _save_ckpt(self, params, batch_stats, ema_params, ema_updates, opt_state,
+                   epoch, fitness):
+        common = dict(
+            params=self._gather_host(params),
+            batch_stats=self._gather_host(batch_stats),
+            ema_params=self._gather_host(ema_params),
+            epoch=epoch, best_fitness=self.best_fitness,
+            updates=int(ema_updates),
+            train_args=dict(vars(self.args)), model_yaml=self.model.yaml)
+        save_checkpoint(self.wdir / "last.npz", **common)
+        if fitness >= self.best_fitness:
+            save_checkpoint(self.wdir / "best.npz", **common)
+        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{epoch}.npz", **common)
+
+    def _resume(self, params, batch_stats, ema_params, ema_updates, opt_state):
+        ckpt = self.wdir / "last.npz"
+        if not ckpt.is_file():
+            LOGGER.info("no checkpoint to resume from; starting fresh")
+            return 0, params, batch_stats, ema_params, ema_updates, opt_state
+        meta, flat = load_checkpoint(ckpt)
+        params = restore_tree(flat, "params", params)
+        batch_stats = restore_tree(flat, "batch_stats", batch_stats)
+        ema_params = restore_tree(flat, "ema", ema_params)
+        ema_updates = jnp.asarray(meta["updates"], jnp.int32)
+        self.best_fitness = meta["best_fitness"]
+        start = meta["epoch"] + 1
+        LOGGER.info(f"resumed from {ckpt} at epoch {start}")
+        return start, params, batch_stats, ema_params, ema_updates, opt_state

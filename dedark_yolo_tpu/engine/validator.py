@@ -1,0 +1,167 @@
+"""DetectionValidator: fp32 validation with device-side NMS and host-side mAP.
+
+Counterpart of the reference BaseValidator/DetectionValidator
+(ultralytics/engine/validator.py:93-207, models/yolo/detect/val.py). Key parity
+points:
+  - training-val always runs float32 on the EMA params (validator.py:102-111
+    forces half=False);
+  - NMS with multi_label=True and conf from args (detect/val.py:62-70; conf
+    defaults to 0.001 standalone like cfg __init__);
+  - per-image TP matrix at 10 IoU thresholds vs labels (detect/val.py:72-116);
+  - DetMetrics + ConfusionMatrix + per-image speed phases mirroring
+    validator.py:160-199's Profile timers.
+
+TPU design: one jitted forward+decode+NMS graph of fixed shapes; matching happens
+in numpy on the small per-image detection sets. Boxes and labels are compared in
+the letterboxed val frame — both sides undergo the identical letterbox transform,
+so the matching (and mAP) is equivalent to the reference's native-space matching
+up to boundary clipping.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import get_cfg, DEFAULT_CFG_DICT
+from ..data import YOLODataset, DataLoader, ValTransforms, check_det_dataset
+from ..losses import detection_loss
+from ..ops.boxes import xywh2xyxy
+from ..ops.nms import non_max_suppression
+from ..parallel import make_mesh, shard_batch
+from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions
+from ..utils.metrics import smooth  # noqa: F401  (re-export convenience)
+
+
+class DetectionValidator:
+    def __init__(self, args=None, save_dir=None, data=None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+        if self.args.conf is None:
+            self.args.conf = 0.001  # val default (reference cfg: 0.001 for val)
+        self.save_dir = Path(save_dir or "runs/detect/val")
+        self.data = data
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0,
+                      "postprocess": 0.0}
+
+    def _make_val_step(self, model, with_loss, hyp):
+        a = self.args
+        conf = float(a.conf)
+        iou = float(a.iou)
+        max_det = int(a.max_det)
+        max_nms = int(a.max_nms)
+
+        def val_step(params, batch_stats, batch):
+            img = batch["img"].astype(jnp.float32) / 255.0  # fp32 forced
+            variables = {"params": params, "batch_stats": batch_stats}
+            raw = model.module.apply(variables, img, train=False)
+            from ..nn.heads import decode_detections
+            boxes, scores = decode_detections(raw, model.nc, model.strides,
+                                              model.reg_max)
+            dets, counts = non_max_suppression(
+                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_nms=max_nms, multi_label=True, agnostic=bool(a.agnostic_nms))
+            out = {"dets": dets, "counts": counts}
+            if with_loss:
+                lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
+                          "mask_gt": batch["mask_gt"]}
+                total, items = detection_loss(raw, lbatch, nc=model.nc,
+                                              strides=model.strides, hyp=hyp)
+                out["loss_items"] = jnp.stack(list(items))
+            return out
+
+        return jax.jit(val_step)
+
+    def __call__(self, model=None, params=None, batch_stats=None, mesh=None,
+                 with_loss=False):
+        a = self.args
+        data = self.data or check_det_dataset(a.data)
+        names = data["names"]
+        nc = data["nc"]
+        ds = YOLODataset(data[a.split], imgsz=a.imgsz, nc=nc,
+                         single_cls=a.single_cls)
+        dl = DataLoader(ds, ValTransforms(imgsz=a.imgsz), a.batch,
+                        max_boxes=a.max_boxes, shuffle=False, workers=a.workers,
+                        drop_last=False)
+        hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
+        val_step = self._make_val_step(model, with_loss, hyp)
+
+        metrics = DetMetrics(save_dir=self.save_dir, plot=a.plots, names=names)
+        cm = ConfusionMatrix(nc=nc)
+        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        loss_accum = np.zeros(3)
+        n_batches = 0
+        n_images = 0
+        t_inf = t_post = 0.0
+
+        for batch in dl:
+            bsz = batch["img"].shape[0]
+            t0 = time.perf_counter()
+            out = val_step(params, batch_stats, batch)
+            dets = np.asarray(out["dets"])
+            counts = np.asarray(out["counts"])
+            jax.block_until_ready(dets)
+            t_inf += time.perf_counter() - t0
+
+            if with_loss:
+                loss_accum += np.asarray(out["loss_items"])
+            n_batches += 1
+
+            t1 = time.perf_counter()
+            imgsz = batch["img"].shape[1]
+            for i in range(bsz):
+                n_images += 1
+                k = int(counts[i])
+                det = dets[i, :k]          # (k, 6) xyxy conf cls (letterbox frame)
+                m = batch["mask_gt"][i] > 0
+                gt_xywh = batch["bboxes"][i][m] * imgsz
+                gt_cls = batch["cls"][i][m]
+                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh))) if len(gt_xywh) \
+                    else np.zeros((0, 4), np.float32)
+                tp = match_predictions(det[:, :4], det[:, 5], gt_xyxy, gt_cls)
+                stats["tp"].append(tp)
+                stats["conf"].append(det[:, 4])
+                stats["pred_cls"].append(det[:, 5])
+                stats["target_cls"].append(gt_cls)
+                if a.plots:
+                    cm.process_batch(det, gt_xyxy, gt_cls)
+            t_post += time.perf_counter() - t1
+
+        if n_images == 0:
+            return {}
+        tp = np.concatenate(stats["tp"]) if stats["tp"] else np.zeros((0, 10), bool)
+        conf = np.concatenate(stats["conf"])
+        pred_cls = np.concatenate(stats["pred_cls"])
+        target_cls = np.concatenate(stats["target_cls"])
+        if tp.shape[0] and target_cls.shape[0]:
+            metrics.process(tp, conf, pred_cls, target_cls)
+        self.speed = {"preprocess": 0.0,
+                      "inference": t_inf / n_images * 1000,
+                      "loss": 0.0,
+                      "postprocess": t_post / n_images * 1000}
+        metrics.speed = self.speed
+
+        results = metrics.results_dict
+        if with_loss and n_batches:
+            items = loss_accum / n_batches
+            results.update({"val/box_loss": items[0], "val/cls_loss": items[1],
+                            "val/dfl_loss": items[2]})
+        # per-class table (reference validator print_results)
+        mr = metrics.mean_results()
+        LOGGER.info(f"val: {n_images} images  P {mr[0]:.3f}  R {mr[1]:.3f}  "
+                    f"mAP50 {mr[2]:.3f}  mAP50-95 {mr[3]:.3f}  "
+                    f"({self.speed['inference']:.1f}ms/img inference)")
+        if a.plots:
+            from ..utils.plotting import plot_confusion_matrix
+            try:
+                plot_confusion_matrix(cm.matrix, names,
+                                      self.save_dir / "confusion_matrix.png")
+            except Exception:
+                pass
+        self.confusion_matrix = cm
+        self.metrics = metrics
+        return results

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -338,9 +339,13 @@ class DetectionModel:
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):
-        """Initialize variables (params + batch_stats) on a dummy input."""
+        """Initialize variables (params + batch_stats) on a dummy input.
+
+        Jitted: un-jitted flax init dispatches every op eagerly, which is
+        pathologically slow over a remote-device transport.
+        """
         x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
-        return self.module.init(rng, x, train=False)
+        return jax.jit(partial(self.module.init, train=False))(rng, x)
 
     def apply_train(self, variables, x, dedark_A=None, IcA=None):
         """Forward in train mode; returns (raw_maps, new_batch_stats)."""

@@ -1,0 +1,52 @@
+"""Device mesh + sharding rules: the TPU-native replacement for DDP/NCCL.
+
+The reference scales via torch DDP — subprocess re-exec, NCCL process groups,
+implicit gradient allreduce (ultralytics/engine/trainer.py:174-201, utils/dist.py).
+Here parallelism is declarative: one jax.sharding.Mesh over all chips with a
+'data' axis; parameters are replicated, the batch is sharded over 'data', and a
+single jitted train step lets XLA SPMD insert the gradient all-reduce over ICI.
+Multi-host runs use jax.distributed.initialize + per-host input sharding by
+jax.process_index() (the DataLoader's process_index/process_count arguments).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, shape=None, axes=("data",)):
+    """Create a Mesh over the given (default: all) devices.
+
+    shape defaults to (len(devices),) on a single 'data' axis. Multi-axis shapes
+    (e.g. ('data', 'model')) are accepted for future tensor-parallel layouts.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),)
+    n = int(np.prod(shape))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axes))
+
+
+def batch_sharding(mesh, axis="data"):
+    """Sharding for a batch pytree: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh):
+    """Sharding for parameters/optimizer state: fully replicated."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch, axis="data"):
+    """Device_put a host batch dict with the batch dim sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh, tree):
+    """Device_put a pytree fully replicated over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

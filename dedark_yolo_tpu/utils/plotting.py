@@ -1,0 +1,140 @@
+"""Plotting: PR/F1 curves, training-results curves, box annotation.
+
+Counterpart of reference ultralytics/utils/plotting.py and the fork's custom
+single-plot plot_pr_curve with per-class legend (metrics.py:328-389).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+try:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    HAS_MPL = True
+except Exception:  # pragma: no cover
+    HAS_MPL = False
+
+
+def plot_pr_curve(px, py, ap, save_dir=Path("pr_curve.png"), names={}):
+    """Single PR plot with per-class legend (fork's custom variant,
+    reference metrics.py:328-389)."""
+    if not HAS_MPL:
+        return
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if len(py) else np.zeros((1000, 0))
+    if 0 < py.shape[1] < 21:
+        for i in range(py.shape[1]):
+            label = f"{names.get(i, i)} {ap[i, 0]:.3f}"
+            ax.plot(px, py[:, i], linewidth=1, label=label)
+    elif py.shape[1]:
+        ax.plot(px, py, linewidth=1, color="grey")
+    if py.shape[1]:
+        ax.plot(px, py.mean(1), linewidth=3, color="blue",
+                label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    ax.set_title("Precision-Recall Curve")
+    Path(save_dir).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+
+
+def plot_mc_curve(px, py, save_dir=Path("mc_curve.png"), names={}, xlabel="Confidence",
+                  ylabel="Metric"):
+    """Metric-confidence curve (reference metrics.py:392-415)."""
+    if not HAS_MPL:
+        return
+    from .metrics import smooth
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    if 0 < len(py) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=f"{names.get(i, i)}")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(np.asarray(py).mean(0), 0.05)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    ax.set_title(f"{ylabel}-Confidence Curve")
+    Path(save_dir).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+
+
+def plot_confusion_matrix(matrix, names, save_dir=Path("confusion_matrix.png"),
+                          normalize=True):
+    if not HAS_MPL:
+        return
+    nc = len(names)
+    array = matrix / ((matrix.sum(0).reshape(1, -1) + 1e-9) if normalize else 1)
+    fig, ax = plt.subplots(1, 1, figsize=(10, 8), tight_layout=True)
+    im = ax.imshow(array, cmap="Blues")
+    fig.colorbar(im)
+    ticklabels = [names.get(i, str(i)) for i in range(nc)] + ["background"]
+    ax.set_xticks(range(nc + 1))
+    ax.set_yticks(range(nc + 1))
+    ax.set_xticklabels(ticklabels, rotation=90)
+    ax.set_yticklabels(ticklabels)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    Path(save_dir).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+
+
+def plot_results(csv_path, save_dir=None):
+    """Training curves from the per-epoch results CSV (reference plotting.py:444)."""
+    if not HAS_MPL:
+        return
+    import csv as _csv
+    csv_path = Path(csv_path)
+    with open(csv_path) as f:
+        rows = list(_csv.reader(f))
+    header = [h.strip() for h in rows[0]]
+    data = np.array([[float(x) for x in r] for r in rows[1:]])
+    ncols = len(header) - 1
+    fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 4), tight_layout=True)
+    if ncols == 1:
+        axes = [axes]
+    for i, ax in enumerate(axes):
+        ax.plot(data[:, 0], data[:, i + 1])
+        ax.set_title(header[i + 1])
+        ax.set_xlabel("epoch")
+    out = Path(save_dir or csv_path.parent) / "results.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def annotate_image(img_rgb, dets, names=None, line_width=None):
+    """Draw (n, 6) [xyxy, conf, cls] detections on an RGB uint8 image."""
+    import cv2
+    img = np.ascontiguousarray(img_rgb[..., ::-1].copy())  # to BGR for cv2
+    lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
+    palette = [(56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
+               (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
+               (52, 147, 26), (187, 212, 0)]
+    for d in dets:
+        if d[4] <= 0:
+            continue
+        x1, y1, x2, y2 = map(int, d[:4])
+        c = int(d[5])
+        color = palette[c % len(palette)]
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
+        label = f"{(names or {}).get(c, c)} {d[4]:.2f}"
+        tf = max(lw - 1, 1)
+        w, h = cv2.getTextSize(label, 0, lw / 3, tf)[0]
+        cv2.rectangle(img, (x1, y1), (x1 + w, y1 - h - 3), color, -1)
+        cv2.putText(img, label, (x1, y1 - 2), 0, lw / 3, (255, 255, 255), tf)
+    return img[..., ::-1]  # back to RGB

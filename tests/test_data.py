@@ -1,0 +1,134 @@
+import numpy as np
+import pytest
+
+from dedark_yolo_tpu.data import (YOLODataset, DataLoader, TrainTransforms,
+                                  ValTransforms, check_det_dataset, letterbox,
+                                  img2label_path)
+from synth import make_synth_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthds")
+    yaml_path = make_synth_dataset(root)
+    return check_det_dataset(yaml_path)
+
+
+def test_img2label_path():
+    assert img2label_path("/d/images/train/a.jpg") == "/d/labels/train/a.txt"
+
+
+def test_check_det_dataset(synth):
+    assert synth["nc"] == 3
+    assert 0 in synth["names"]
+
+
+def test_dataset_scan_and_labels(synth):
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    assert len(ds) == 8
+    s = ds(0, 160)
+    assert s.img.dtype == np.uint8
+    assert max(s.img.shape[:2]) <= 160
+    assert s.boxes.shape[1] == 4
+    assert len(s.cls) >= 1
+    # boxes in pixel xyxy within image
+    assert (s.boxes[:, 2] <= s.img.shape[1] + 1).all()
+
+
+def test_label_cache_roundtrip(synth):
+    ds1 = YOLODataset(synth["train"], imgsz=160, nc=3)
+    ds2 = YOLODataset(synth["train"], imgsz=160, nc=3)  # loads from cache
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_letterbox_shapes():
+    img = np.zeros((120, 200, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, 160)
+    assert out.shape == (160, 160, 3)
+    assert out[0, 0, 0] == 114  # pad fill
+
+
+def test_train_transforms_and_loader(synth):
+    hyp = {"mosaic": 1.0, "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+           "translate": 0.1, "scale": 0.5, "mixup": 0.0}
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    tf = TrainTransforms(hyp, imgsz=160)
+    dl = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=0, workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["img"].shape == (4, 160, 160, 3) and b["img"].dtype == np.uint8
+    assert b["bboxes"].shape == (4, 32, 4)
+    assert b["mask_gt"].sum() > 0
+    # normalized coords
+    valid = b["mask_gt"] > 0
+    assert (b["bboxes"][valid] >= 0).all() and (b["bboxes"][valid] <= 1).all()
+
+
+def test_loader_determinism(synth):
+    hyp = {"mosaic": 1.0, "fliplr": 0.5, "translate": 0.1, "scale": 0.5}
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    tf = TrainTransforms(hyp, imgsz=160)
+    dl1 = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=7, workers=2)
+    dl2 = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=7, workers=2)
+    b1, b2 = next(iter(dl1)), next(iter(dl2))
+    np.testing.assert_array_equal(b1["img"], b2["img"])
+    np.testing.assert_array_equal(b1["bboxes"], b2["bboxes"])
+    # different epoch -> different order
+    dl1.set_epoch(1)
+    b3 = next(iter(dl1))
+    assert not np.array_equal(b1["img"], b3["img"])
+
+
+def test_host_sharding(synth):
+    hyp = {"mosaic": 0.0, "fliplr": 0.0, "translate": 0.1, "scale": 0.5}
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    tf = TrainTransforms(hyp, imgsz=160)
+    dl0 = DataLoader(ds, tf, batch_size=2, max_boxes=32, seed=0, workers=1,
+                     process_index=0, process_count=2)
+    dl1 = DataLoader(ds, tf, batch_size=2, max_boxes=32, seed=0, workers=1,
+                     process_index=1, process_count=2)
+    assert len(dl0) == 2 and len(dl1) == 2
+    i0 = dl0._indices()
+    i1 = dl1._indices()
+    assert set(i0).isdisjoint(i1)
+
+
+def test_val_transforms(synth):
+    ds = YOLODataset(synth["val"], imgsz=160, nc=3)
+    tf = ValTransforms(imgsz=160)
+    import random
+    img, xywh, cls = tf(ds, 0, random.Random(0))
+    assert img.shape == (160, 160, 3)
+    assert len(xywh) == len(cls)
+
+
+def test_voc_converter(tmp_path):
+    from dedark_yolo_tpu.data import convert_voc_to_yolo
+    # build a tiny VOC tree
+    ann = tmp_path / "Annotations"; ann.mkdir()
+    jpg = tmp_path / "JPEGImages"; jpg.mkdir()
+    main = tmp_path / "ImageSets" / "Main"; main.mkdir(parents=True)
+    import cv2
+    cv2.imwrite(str(jpg / "im0.jpg"), np.zeros((100, 200, 3), np.uint8))
+    (ann / "im0.xml").write_text("""
+<annotation><size><width>200</width><height>100</height><depth>3</depth></size>
+<object><name>person</name><difficult>0</difficult>
+<bndbox><xmin>50</xmin><ymin>20</ymin><xmax>150</xmax><ymax>80</ymax></bndbox></object>
+<object><name>ignored</name>
+<bndbox><xmin>0</xmin><ymin>0</ymin><xmax>10</xmax><ymax>10</ymax></bndbox></object>
+</annotation>""")
+    (main / "train.txt").write_text("im0\n")
+    out = tmp_path / "yolo"
+    yaml_path = convert_voc_to_yolo(tmp_path, out, ["person", "rockfall"],
+                                    splits=("train",))
+    txt = (out / "labels" / "train" / "im0.txt").read_text().split()
+    assert txt[0] == "0"
+    np.testing.assert_allclose(float(txt[1]), 0.5, atol=1e-5)   # cx = 100/200
+    np.testing.assert_allclose(float(txt[2]), 0.5, atol=1e-5)   # cy = 50/100
+    np.testing.assert_allclose(float(txt[3]), 0.5, atol=1e-5)   # w = 100/200
+    np.testing.assert_allclose(float(txt[4]), 0.6, atol=1e-5)   # h = 60/100
+    assert (out / "images" / "train" / "im0.jpg").is_file()
+    d = check_det_dataset(yaml_path)
+    assert d["nc"] == 2

@@ -1,0 +1,99 @@
+"""End-to-end engine tests on a tiny model + synthetic dataset (CPU, 8 devices)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from synth import make_synth_dataset
+
+TINY = str(Path(__file__).parent / "tiny_model.yaml")
+
+
+@pytest.fixture(scope="module")
+def synth_yaml(tmp_path_factory):
+    root = tmp_path_factory.mktemp("engineds")
+    return str(make_synth_dataset(root, n_train=8, n_val=4, imgsz=128))
+
+
+@pytest.fixture(scope="module")
+def trained(synth_yaml, tmp_path_factory):
+    from dedark_yolo_tpu import YOLO
+    run_dir = tmp_path_factory.mktemp("runs")
+    model = YOLO(TINY)
+    metrics = model.train(data=synth_yaml, epochs=2, imgsz=96, batch=8, mesh_shape=[2],
+                          workers=2, project=str(run_dir), name="t",
+                          max_boxes=16, max_nms=256, max_det=20,
+                          warmup_epochs=0.5, plots=False, val=True)
+    return model, metrics, run_dir / "t"
+
+
+def test_train_artifacts(trained):
+    model, metrics, run_dir = trained
+    assert (run_dir / "weights" / "last.npz").is_file()
+    assert (run_dir / "weights" / "best.npz").is_file()
+    assert (run_dir / "results.csv").is_file()
+    assert (run_dir / "args.yaml").is_file()
+    csv_lines = (run_dir / "results.csv").read_text().strip().splitlines()
+    assert len(csv_lines) == 3  # header + 2 epochs
+    assert "fitness" in metrics
+
+
+def test_train_loss_finite(trained):
+    _, _, run_dir = trained
+    rows = (run_dir / "results.csv").read_text().strip().splitlines()[1:]
+    for row in rows:
+        vals = [float(x) for x in row.split(",")]
+        assert all(np.isfinite(vals)), row
+        assert vals[1] > 0  # box loss positive
+
+
+def test_val_from_checkpoint(trained, synth_yaml):
+    from dedark_yolo_tpu import YOLO
+    _, _, run_dir = trained
+    model = YOLO(str(run_dir / "weights" / "best.npz"))
+    metrics = model.val(data=synth_yaml, imgsz=96, batch=4, workers=2,
+                        max_boxes=16, max_nms=256, max_det=20, plots=False)
+    assert "metrics/mAP50(B)" in metrics
+    assert 0.0 <= metrics["metrics/mAP50(B)"] <= 1.0
+
+
+def test_predict_and_save(trained, synth_yaml, tmp_path):
+    from dedark_yolo_tpu.data import check_det_dataset
+    model, _, _ = trained
+    data = check_det_dataset(synth_yaml)
+    img_dir = data["val"]
+    results = model.predict(img_dir, imgsz=96, batch=2, conf=0.01, workers=1,
+                            max_nms=256, max_det=20, save=False, save_txt=True,
+                            project=str(tmp_path))
+    assert len(results) == 4
+    r = results[0]
+    assert r.orig_img.ndim == 3
+    # boxes scaled into original image space
+    if len(r.boxes):
+        h, w = r.orig_shape
+        assert (r.boxes.xyxy[:, 2] <= w + 1).all()
+        assert (r.boxes.xyxy[:, 3] <= h + 1).all()
+    js = r.tojson()
+    assert js.startswith("[")
+
+
+def test_resume(trained, synth_yaml):
+    from dedark_yolo_tpu import YOLO
+    _, _, run_dir = trained
+    model = YOLO(TINY)
+    metrics = model.train(data=synth_yaml, epochs=3, imgsz=96, batch=8, mesh_shape=[2],
+                          workers=2, project=str(run_dir.parent), name="t",
+                          max_boxes=16, max_nms=256, max_det=20, resume=True,
+                          exist_ok=True, warmup_epochs=0.5, plots=False)
+    rows = (run_dir / "results.csv").read_text().strip().splitlines()[1:]
+    # 2 epochs from the first run + 1 resumed epoch (epoch index 2)
+    assert int(float(rows[-1].split(",")[0])) == 2
+
+
+def test_export_stablehlo(trained, tmp_path):
+    model, _, _ = trained
+    path = model.export(format="stablehlo", imgsz=96, batch=1,
+                        project=str(tmp_path))
+    text = Path(path).read_text()
+    assert "stablehlo" in text or "mhlo" in text or "func.func" in text
