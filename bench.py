@@ -68,14 +68,17 @@ def main():
     imgs = [jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3),
                                      dtype=np.uint8)) for _ in range(4)]
 
+    # force a small host transfer per iteration: on remote-device transports
+    # block_until_ready can return before execution completes, so only a
+    # device->host readback gives honest timings
     for i in range(warmup):
         dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
-        jax.block_until_ready(dets)
+        np.asarray(counts)
 
     t0 = time.perf_counter()
     for i in range(iters):
         dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
-        jax.block_until_ready(dets)
+        np.asarray(counts)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

@@ -30,29 +30,46 @@ from ..ops.nms import non_max_suppression
 from .results import Results
 
 
-def load_source(source):
-    """Yield (path, BGR image) for a file, dir, list, or ndarray source
-    (counterpart of ultralytics/data/loaders.py LoadImages/LoadPilAndNumpy)."""
+VID_FORMATS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".mpg", ".mpeg"}
+
+
+def load_source(source, vid_stride=1):
+    """Yield (path, BGR image, meta) for a file/dir/list/ndarray/video source
+    (counterpart of ultralytics/data/loaders.py LoadImages incl. video frames).
+
+    meta is None for still images; for video frames it is
+    (frame_idx, fps, total_frames) so the caller can mux output video."""
     import cv2
     if isinstance(source, np.ndarray):
-        yield "array", source
+        yield "array", source, None
         return
     if isinstance(source, (list, tuple)):
         for s in source:
-            yield from load_source(s)
+            yield from load_source(s, vid_stride)
         return
     p = Path(source)
     if p.is_dir():
         for f in sorted(p.rglob("*")):
-            if f.suffix.lower() in IMG_FORMATS:
-                img = cv2.imread(str(f))
-                if img is not None:
-                    yield str(f), img
+            if f.suffix.lower() in IMG_FORMATS or f.suffix.lower() in VID_FORMATS:
+                yield from load_source(f, vid_stride)
+    elif p.is_file() and p.suffix.lower() in VID_FORMATS:
+        cap = cv2.VideoCapture(str(p))
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % vid_stride == 0:
+                yield str(p), frame, (idx, fps, total)
+            idx += 1
+        cap.release()
     elif p.is_file():
         img = cv2.imread(str(p))
         if img is None:
             raise FileNotFoundError(f"could not read image: {p}")
-        yield str(p), img
+        yield str(p), img, None
     else:
         raise FileNotFoundError(f"source not found: {source}")
 
@@ -116,10 +133,11 @@ class DetectionPredictor:
             self._step = self._make_step()
         imgsz = a.imgsz if isinstance(a.imgsz, int) else a.imgsz[0]
         batch_size = max(1, int(a.batch))
-        buf_paths, buf_imgs, buf_orig = [], [], []
+        buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
+        self._writers = {}
 
         def flush():
-            nonlocal buf_paths, buf_imgs, buf_orig
+            nonlocal buf_paths, buf_imgs, buf_orig, buf_meta
             if not buf_imgs:
                 return
             n = len(buf_imgs)
@@ -147,23 +165,38 @@ class DetectionPredictor:
                     speed={"inference": t_inf},
                     enhanced_img=(enhanced[i] if enhanced is not None else None))
                 if a.save or a.save_txt:
-                    self._write(res)
+                    self._write(res, buf_meta[i])
                 yield res
-            buf_paths, buf_imgs, buf_orig = [], [], []
+            buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
 
-        for path, img in load_source(source):
+        for path, img, meta in load_source(source, vid_stride=int(a.vid_stride)):
             lb, _, _ = letterbox(img, imgsz)
             buf_paths.append(path)
             buf_imgs.append(np.ascontiguousarray(lb[..., ::-1]))  # RGB
             buf_orig.append(img)
+            buf_meta.append(meta)
             if len(buf_imgs) == batch_size:
                 yield from flush()
         yield from flush()
+        for w in self._writers.values():
+            w.release()
+        self._writers = {}
 
-    def _write(self, res):
+    def _write(self, res, meta=None):
         import cv2
         stem = Path(res.path).stem if res.path != "array" else "image"
         self.save_dir.mkdir(parents=True, exist_ok=True)
+        if meta is not None and self.args.save:
+            # video frame: mux annotated frames (predictor.py:356-377 equivalent)
+            _, fps, _ = meta
+            if res.path not in self._writers:
+                h, w = res.orig_shape
+                out_path = str(self.save_dir / f"{stem}_pred.mp4")
+                self._writers[res.path] = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                    max(fps / max(int(self.args.vid_stride), 1), 1), (w, h))
+            self._writers[res.path].write(res.plot()[..., ::-1])
+            return
         if self.args.save:
             res.save(self.save_dir / f"{stem}.jpg")
         if self.args.save_txt:

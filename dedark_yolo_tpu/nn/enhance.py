@@ -200,6 +200,7 @@ class LowlightRecovery(nn.Module):
     them). Pass computed priors explicitly for the 'computed' prior mode.
     """
     out_channels: int = 3
+    impl: str = "xla"  # 'xla' (pure chain) | 'pallas' (fused VMEM kernel)
 
     @nn.compact
     def __call__(self, x, dedark_A=None, IcA=None, train: bool = False):
@@ -210,4 +211,9 @@ class LowlightRecovery(nn.Module):
             IcA = jnp.full((b, h, w, 1), DEFAULT_ICA, dtype=x.dtype)
         small = jax.image.resize(x, (b, 256, 256, x.shape[-1]), method="bilinear")
         features = ExtractParameters2()(small)
+        if self.impl == "pallas" and not train:
+            # lazy import (the kernel module imports this one for the formulas);
+            # grads through pallas_call need a custom VJP, so train keeps XLA
+            from ..ops.pallas.enhance_kernel import fused_enhance
+            return fused_enhance(x, features, dedark_A, IcA)
         return apply_filter_chain(x, features, dedark_A, IcA)

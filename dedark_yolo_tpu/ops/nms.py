@@ -34,8 +34,15 @@ def _nms_single(boxes, scores, iou_thres, max_det):
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
 
-    def body(i, state):
-        live_scores, keep_idx, keep_scores = state
+    def cond(state):
+        # early exit: stop as soon as no candidate remains above zero — typical
+        # scenes have far fewer than max_det objects, so this cuts the
+        # sequential-iteration latency to the actual detection count
+        i, live_scores, _, _ = state
+        return jnp.logical_and(i < max_det, jnp.max(live_scores) > 0.0)
+
+    def body(state):
+        i, live_scores, keep_idx, keep_scores = state
         best = jnp.argmax(live_scores)
         best_score = live_scores[best]
         bb = boxes[best]
@@ -47,15 +54,14 @@ def _nms_single(boxes, scores, iou_thres, max_det):
         # suppress overlaps (incl. the selected box itself, IoU=1)
         live_scores = jnp.where(iou > iou_thres, 0.0, live_scores)
         live_scores = live_scores.at[best].set(0.0)
-        valid = best_score > 0.0
-        keep_idx = keep_idx.at[i].set(jnp.where(valid, best, -1))
-        keep_scores = keep_scores.at[i].set(jnp.where(valid, best_score, 0.0))
-        return live_scores, keep_idx, keep_scores
+        keep_idx = keep_idx.at[i].set(best)
+        keep_scores = keep_scores.at[i].set(best_score)
+        return i + 1, live_scores, keep_idx, keep_scores
 
-    init = (scores,
+    init = (jnp.int32(0), scores,
             jnp.full((max_det,), -1, dtype=jnp.int32),
             jnp.zeros((max_det,), dtype=scores.dtype))
-    _, keep_idx, keep_scores = jax.lax.fori_loop(0, max_det, body, init)
+    _, _, keep_idx, keep_scores = jax.lax.while_loop(cond, body, init)
     return keep_idx, keep_scores
 
 

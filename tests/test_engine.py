@@ -97,3 +97,24 @@ def test_export_stablehlo(trained, tmp_path):
                         project=str(tmp_path))
     text = Path(path).read_text()
     assert "stablehlo" in text or "mhlo" in text or "func.func" in text
+
+
+def test_predict_video(trained, tmp_path):
+    """Video source: frames stream through the same fused graph, annotated mp4 muxed."""
+    import cv2
+    model, _, _ = trained
+    vid = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        w.write(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    w.release()
+    results = model.predict(str(vid), imgsz=96, batch=2, conf=0.5, vid_stride=2,
+                            max_nms=256, max_det=20, save=True,
+                            project=str(tmp_path / "out"))
+    assert len(results) == 3  # 6 frames / stride 2
+    out = list((tmp_path / "out" / "predict").glob("*_pred.mp4"))
+    assert len(out) == 1
+    cap = cv2.VideoCapture(str(out[0]))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    cap.release()

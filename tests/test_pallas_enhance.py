@@ -1,0 +1,59 @@
+"""Pallas fused enhance kernels vs the pure-JAX reference chain (interpret mode
+on CPU; the same kernels compile with Mosaic on real TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dedark_yolo_tpu.nn import enhance as E
+from dedark_yolo_tpu.ops.pallas.enhance_kernel import (
+    fused_enhance, fused_enhance_pallas, usm_pallas, _fits_full, _fits_usm)
+
+
+def _inputs(b=2, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0.02, 0.98, (b, h, w, 3)).astype(np.float32)
+    feats = rng.normal(0, 0.7, (b, 15)).astype(np.float32)
+    A = rng.uniform(0.6, 0.9, (b, 3)).astype(np.float32)
+    ica = rng.uniform(0.2, 0.8, (b, h, w, 1)).astype(np.float32)
+    return jnp.asarray(img), jnp.asarray(feats), jnp.asarray(A), jnp.asarray(ica)
+
+
+def test_full_kernel_matches_reference_chain():
+    img, feats, A, ica = _inputs()
+    want = np.asarray(E.apply_filter_chain(img, feats, A, ica))
+    got = np.asarray(fused_enhance_pallas(img, feats, A, ica, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_full_kernel_default_priors():
+    img, feats, _, _ = _inputs(seed=3)
+    b, h, w, _ = img.shape
+    A = jnp.full((b, 3), E.DEFAULT_A)
+    ica = jnp.full((b, h, w, 1), E.DEFAULT_ICA)
+    want = np.asarray(E.apply_filter_chain(img, feats, A, ica))
+    got = np.asarray(fused_enhance_pallas(img, feats, A, ica, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_usm_kernel_matches():
+    img, feats, A, ica = _inputs(seed=5)
+    p = E.regress_filter_params(feats)
+    y = E.apply_point_filters(img, p, A, ica)
+    want = np.asarray(E.usm_filter(y, p["usm"]))
+    got = np.asarray(usm_pallas(y, p["usm"], interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_matches_everywhere():
+    img, feats, A, ica = _inputs(seed=7)
+    want = np.asarray(E.apply_filter_chain(img, feats, A, ica))
+    got = np.asarray(fused_enhance(img, feats, A, ica, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_vmem_gates():
+    assert _fits_full(448, 448)
+    assert not _fits_full(640, 640)   # 640 uses the two-stage path
+    assert _fits_usm(640, 640)
+    assert not _fits_usm(2048, 2048)  # falls back to pure JAX
