@@ -41,7 +41,7 @@ def main():
 
     d = model_yaml_load("yolov8l.yaml")  # flagship: lowlight_recovery + ASFF, L
     d["nc"] = 3
-    model = DetectionModel(d)
+    model = DetectionModel(d, enhance_impl="pallas")
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     # bf16 weights for inference (TPU-native precision; val-parity runs use fp32)
     params = jax.tree_util.tree_map(

@@ -164,7 +164,7 @@ class DetectionPredictor:
                     path=buf_paths[i], names=self.names, boxes=det,
                     speed={"inference": t_inf},
                     enhanced_img=(enhanced[i] if enhanced is not None else None))
-                if a.save or a.save_txt:
+                if a.save or a.save_txt or a.save_enhanced:
                     self._write(res, buf_meta[i])
                 yield res
             buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []

@@ -200,6 +200,16 @@ class DetectionTrainer:
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", dict(vars(a)))
 
+        # model + state (before mesh/loaders so autobatch can measure the step)
+        model = self.get_model()
+        self.model = model
+        rng = jax.random.PRNGKey(a.seed)
+        variables = model.init(rng, imgsz=a.imgsz, batch=1)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+
+        if a.batch < 0:
+            a.batch = self._autobatch(model, params, batch_stats)
+
         if a.mesh_shape:
             mesh = make_mesh(shape=tuple(a.mesh_shape), axes=tuple(a.mesh_axes or ("data",)))
         else:
@@ -229,12 +239,6 @@ class DetectionTrainer:
         nb = len(train_dl)
         assert nb > 0, "empty train loader (batch too large for dataset?)"
 
-        # model + state
-        model = self.get_model()
-        self.model = model
-        rng = jax.random.PRNGKey(a.seed)
-        variables = model.init(rng, imgsz=a.imgsz, batch=1)
-        params, batch_stats = variables["params"], variables["batch_stats"]
         self.build_optimizer(nb)
         labels = label_params(params)
         opt_state = init_opt_state(params)
@@ -273,6 +277,12 @@ class DetectionTrainer:
             mloss = np.zeros(3)
             for bi, batch in enumerate(train_dl):
                 self.run_callbacks("on_train_batch_start")
+                if a.profile and epoch == start_epoch and bi == 2 \
+                        and jax.process_index() == 0:
+                    # one traced step after warmup (reference profiles per layer
+                    # with thop, tasks.py:129-151; on TPU the unit is the XLA
+                    # trace, viewable in TensorBoard/xprof)
+                    jax.profiler.start_trace(str(self.save_dir / "profile"))
                 dev_batch = shard_batch(mesh, batch)
                 (params, batch_stats, opt_state, ema_params, ema_updates,
                  total, items) = train_step(
@@ -281,6 +291,10 @@ class DetectionTrainer:
                     jnp.float32(self._lr_at(step, "weight")),
                     jnp.float32(self._momentum_at(step)))
                 mloss = (mloss * bi + np.asarray(items)) / (bi + 1)
+                if a.profile and epoch == start_epoch and bi == 2 \
+                        and jax.process_index() == 0:
+                    jax.block_until_ready(total)
+                    jax.profiler.stop_trace()
                 step += 1
                 self.run_callbacks("on_train_batch_end")
             epoch_time = time.time() - t0
@@ -290,12 +304,15 @@ class DetectionTrainer:
             fitness = 0.0
             metrics = {}
             if a.val and jax.process_index() == 0:
-                from .validator import DetectionValidator
-                validator = DetectionValidator(
-                    args=get_cfg(dict(vars(a)), {"conf": 0.001}), save_dir=self.save_dir,
-                    data=self.data)
-                metrics = validator(model=model, params=ema_params,
-                                    batch_stats=batch_stats, mesh=mesh)
+                if not hasattr(self, "_validator"):
+                    # construct ONCE: the jitted val step is cached on the
+                    # validator, so per-epoch val reuses one compiled graph
+                    from .validator import DetectionValidator
+                    self._validator = DetectionValidator(
+                        args=get_cfg(dict(vars(a)), {"conf": 0.001}),
+                        save_dir=self.save_dir, data=self.data)
+                metrics = self._validator(model=model, params=ema_params,
+                                          batch_stats=batch_stats, mesh=mesh)
                 fitness = metrics.get("fitness", 0.0)
             self.metrics = metrics
 
@@ -328,6 +345,32 @@ class DetectionTrainer:
                 LOGGER.info(f"plot_results failed: {e}")
         self.run_callbacks("on_train_end")
         return self.metrics
+
+    def _autobatch(self, model, params, batch_stats):
+        """Fit the global batch to device memory via XLA memory analysis
+        (reference autobatch.py:32 fits to 67% of CUDA memory)."""
+        from ..utils.autobatch import autobatch as _ab
+        a = self.args
+        hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
+
+        def meas(params, bs, img, bboxes, cls, mask):
+            def lf(p):
+                raw, _ = model.apply_train({"params": p, "batch_stats": bs},
+                                           img.astype(jnp.float32) / 255.0)
+                t, _ = detection_loss(raw, {"cls": cls, "bboxes": bboxes,
+                                            "mask_gt": mask}, nc=model.nc,
+                                      strides=model.strides, hyp=hyp)
+                return t
+            return jax.grad(lf)(params)
+
+        def args_fn(b):
+            return (params, batch_stats,
+                    jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
+                    jnp.zeros((b, a.max_boxes, 4), jnp.float32),
+                    jnp.zeros((b, a.max_boxes), jnp.float32),
+                    jnp.zeros((b, a.max_boxes), jnp.float32))
+
+        return _ab(meas, args_fn)
 
     # ---------------------------------------------------------------- persist
     def _save_csv(self, epoch, mloss, metrics, lr):

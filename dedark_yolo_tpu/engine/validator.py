@@ -88,7 +88,12 @@ class DetectionValidator:
                         max_boxes=a.max_boxes, shuffle=False, workers=a.workers,
                         drop_last=False)
         hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
-        val_step = self._make_val_step(model, with_loss, hyp)
+        cache_key = bool(with_loss)
+        if not hasattr(self, "_val_step_cache"):
+            self._val_step_cache = {}
+        if cache_key not in self._val_step_cache:
+            self._val_step_cache[cache_key] = self._make_val_step(model, with_loss, hyp)
+        val_step = self._val_step_cache[cache_key]
 
         metrics = DetMetrics(save_dir=self.save_dir, plot=a.plots, names=names)
         cm = ConfusionMatrix(nc=nc)
@@ -98,6 +103,8 @@ class DetectionValidator:
         n_images = 0
         t_inf = t_post = 0.0
 
+        jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
+        img_id = 0
         for batch in dl:
             bsz = batch["img"].shape[0]
             t0 = time.perf_counter()
@@ -129,6 +136,16 @@ class DetectionValidator:
                 stats["target_cls"].append(gt_cls)
                 if a.plots:
                     cm.process_batch(det, gt_xyxy, gt_cls)
+                if a.save_json:
+                    for d in det:
+                        jdict.append({
+                            "image_id": img_id,
+                            "category_id": int(d[5]),
+                            "bbox": [round(float(d[0]), 3), round(float(d[1]), 3),
+                                     round(float(d[2] - d[0]), 3),
+                                     round(float(d[3] - d[1]), 3)],
+                            "score": round(float(d[4]), 5)})
+                img_id += 1
             t_post += time.perf_counter() - t1
 
         if n_images == 0:
@@ -150,11 +167,23 @@ class DetectionValidator:
             items = loss_accum / n_batches
             results.update({"val/box_loss": items[0], "val/cls_loss": items[1],
                             "val/dfl_loss": items[2]})
+        if a.save_json and jdict:
+            import json
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            jpath = self.save_dir / "predictions.json"
+            jpath.write_text(json.dumps(jdict))
+            LOGGER.info(f"saved {len(jdict)} detections to {jpath}")
+
         # per-class table (reference validator print_results)
         mr = metrics.mean_results()
         LOGGER.info(f"val: {n_images} images  P {mr[0]:.3f}  R {mr[1]:.3f}  "
                     f"mAP50 {mr[2]:.3f}  mAP50-95 {mr[3]:.3f}  "
                     f"({self.speed['inference']:.1f}ms/img inference)")
+        if a.verbose and len(metrics.ap_class_index):
+            for i, c in enumerate(metrics.ap_class_index):
+                p, r, ap50, ap = metrics.class_result(i)
+                LOGGER.info(f"  {names.get(int(c), c):>16}  P {p:.3f}  R {r:.3f}  "
+                            f"mAP50 {ap50:.3f}  mAP50-95 {ap:.3f}")
         if a.plots:
             from ..utils.plotting import plot_confusion_matrix
             try:

@@ -194,7 +194,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     return tuple(specs), sorted(set(save)), head
 
 
-def _build_module(spec: LayerSpec, head: dict):
+def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
     """Instantiate the flax module for a LayerSpec (None for functional layers)."""
     name, a = spec.name, list(spec.args)
     if name == "Conv":
@@ -242,7 +242,7 @@ def _build_module(spec: LayerSpec, head: dict):
     if name == "HGBlock":
         return L.HGBlock(cm=a[0], c2=a[1], k=a[2] if len(a) > 2 else 3, n=a[3])
     if name == "lowlight_recovery":
-        return LowlightRecovery(out_channels=a[0])
+        return LowlightRecovery(out_channels=a[0], impl=enhance_impl)
     if name == "AsffTribeLevel":
         return L.AsffTribeLevel(level=a[0])
     if name == "AsffDoubLevel":
@@ -278,11 +278,12 @@ class YOLOGraph(nn.Module):
     specs: Tuple[LayerSpec, ...]
     save: Tuple[int, ...]
     head: FrozenDict
+    enhance_impl: str = "xla"  # 'pallas' = fused VMEM enhance kernel (eval path)
 
     def setup(self):
         mods = []
         for s in self.specs:
-            m = _build_module(s, dict(self.head))
+            m = _build_module(s, dict(self.head), self.enhance_impl)
             mods.append(m if m is not None else ())
         self.mods = mods
 
@@ -324,7 +325,8 @@ class DetectionModel:
     Python wrapper around the pure flax graph (params live outside the object).
     """
 
-    def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False):
+    def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False,
+                 enhance_impl: str = "xla"):
         import copy
         self.yaml = copy.deepcopy(cfg_dict)
         if nc and nc != self.yaml.get("nc"):
@@ -335,7 +337,8 @@ class DetectionModel:
         self.reg_max = 16
         self.no = self.nc + 4 * self.reg_max
         self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
-                                head=FrozenDict(self.head))
+                                head=FrozenDict(self.head),
+                                enhance_impl=enhance_impl)
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):

@@ -87,6 +87,79 @@ class AsffDetect(nn.Module):
         return outs
 
 
+class Segment(nn.Module):
+    """Segmentation head: Detect + mask-coefficient branch + Proto prototypes.
+
+    Reference head.py:177-200 — per-level 2xConv + 1x1 producing nm mask
+    coefficients, and a Proto module on the highest-resolution feature.
+    Returns (detect_maps, coef_maps, protos).
+    """
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        from .layers import Proto
+        protos = Proto(c_=self.npr, c2=self.nm)(xs[0], train)
+        c4 = max(xs[0].shape[-1] // 4, self.nm)
+        coefs = []
+        for i, x in enumerate(xs):
+            c = Conv(c4, 3, name=f"cv4_{i}_0")(x, train)
+            c = Conv(c4, 3, name=f"cv4_{i}_1")(c, train)
+            c = nn.Conv(self.nm, (1, 1), use_bias=True, name=f"cv4_{i}_2")(c)
+            coefs.append(c)
+        det = Detect(nc=self.nc, reg_max=self.reg_max, strides=self.strides,
+                     name="detect")(xs, train)
+        return det, coefs, protos
+
+
+class Pose(nn.Module):
+    """Pose head: Detect + keypoint regression branch (reference head.py:203-241).
+
+    kpt_shape (nk, 3) -> per-anchor nk*3 values. Returns (detect_maps, kpt_maps).
+    """
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(xs[0].shape[-1] // 4, nk)
+        kpts = []
+        for i, x in enumerate(xs):
+            k = Conv(c4, 3, name=f"cv4_{i}_0")(x, train)
+            k = Conv(c4, 3, name=f"cv4_{i}_1")(k, train)
+            k = nn.Conv(nk, (1, 1), use_bias=True, name=f"cv4_{i}_2")(k)
+            kpts.append(k)
+        det = Detect(nc=self.nc, reg_max=self.reg_max, strides=self.strides,
+                     name="detect")(xs, train)
+        return det, kpts
+
+
+def decode_keypoints(kpt_maps: Sequence[jnp.ndarray], strides: Sequence[int],
+                     kpt_shape=(17, 3)):
+    """Decode raw kpt maps -> (B, N, nk, 3) in pixels (reference head.py kpts_decode):
+    xy = (2 * sigmoid-free offsets + anchor - 0.5) * stride; visibility sigmoid."""
+    from ..ops.anchors import make_anchors
+    feat_shapes = [(m.shape[1], m.shape[2]) for m in kpt_maps]
+    anchors, stride_t = make_anchors(feat_shapes, strides, 0.5)
+    b = kpt_maps[0].shape[0]
+    nk = kpt_shape[0]
+    x = jnp.concatenate([m.reshape(b, -1, kpt_shape[0], kpt_shape[1])
+                         for m in kpt_maps], axis=1)
+    xy = (x[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * \
+        stride_t[None, :, None, :]
+    if kpt_shape[1] == 3:
+        vis = jax.nn.sigmoid(x[..., 2:3])
+        return jnp.concatenate([xy, vis], axis=-1)
+    return xy
+
+
 def flatten_raw(raw_maps: Sequence[jnp.ndarray]):
     """Per-level (B, H, W, no) maps -> (B, sum(hw), no), anchor order matching the
     reference's view+cat (head.py:74)."""

@@ -118,3 +118,20 @@ def test_predict_video(trained, tmp_path):
     cap = cv2.VideoCapture(str(out[0]))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
     cap.release()
+
+
+def test_predict_save_enhanced(trained, synth_yaml, tmp_path):
+    """save_enhanced captures the lowlight_recovery output in the SAME graph
+    (no second forward) and writes it device-encoded."""
+    from dedark_yolo_tpu.data import check_det_dataset
+    model, _, _ = trained
+    data = check_det_dataset(synth_yaml)
+    results = model.predict(data["val"], imgsz=96, batch=2, conf=0.5, workers=1,
+                            max_nms=256, max_det=20, save=False, save_txt=False,
+                            save_enhanced=True, project=str(tmp_path))
+    r = results[0]
+    assert r.enhanced_img is not None
+    assert r.enhanced_img.shape == (96, 96, 3)
+    assert np.isfinite(r.enhanced_img).all()
+    enh = sorted((tmp_path / "predict").glob("*_enhanced.jpg"))
+    assert len(enh) == 4

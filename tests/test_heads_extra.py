@@ -1,0 +1,38 @@
+"""Segment/Pose head module tests (shape + decode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dedark_yolo_tpu.nn.heads import Segment, Pose, decode_keypoints
+
+
+def _feats(b=1):
+    rng = jax.random.PRNGKey(0)
+    shapes = [(16, 16, 64), (8, 8, 128), (4, 4, 128)]
+    return [jax.random.normal(jax.random.PRNGKey(i), (b, *s)) * 0.1
+            for i, s in enumerate(shapes)]
+
+
+def test_segment_head_shapes():
+    xs = _feats()
+    head = Segment(nc=3, nm=32, npr=64)
+    variables = head.init(jax.random.PRNGKey(0), xs)
+    det, coefs, protos = head.apply(variables, xs)
+    assert len(det) == 3 and det[0].shape == (1, 16, 16, 64 + 3)
+    assert [c.shape[-1] for c in coefs] == [32, 32, 32]
+    assert protos.shape == (1, 32, 32, 32)  # 2x upsample of P3 via Proto
+
+
+def test_pose_head_shapes_and_decode():
+    xs = _feats()
+    head = Pose(nc=1, kpt_shape=(17, 3))
+    variables = head.init(jax.random.PRNGKey(0), xs)
+    det, kpts = head.apply(variables, xs)
+    assert det[0].shape == (1, 16, 16, 64 + 1)
+    assert kpts[0].shape == (1, 16, 16, 51)
+    decoded = decode_keypoints(kpts, strides=(8, 16, 32), kpt_shape=(17, 3))
+    n = 16 * 16 + 8 * 8 + 4 * 4
+    assert decoded.shape == (1, n, 17, 3)
+    vis = np.asarray(decoded[..., 2])
+    assert (vis >= 0).all() and (vis <= 1).all()
