@@ -274,7 +274,8 @@ class DetectionTrainer:
             if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
                 self.train_tf.mosaic_enabled = False
             t0 = time.time()
-            mloss = np.zeros(3)
+            items_log = []  # device arrays; synced once per epoch so the host
+            # loop never blocks on the step (async dispatch overlaps data prep)
             for bi, batch in enumerate(train_dl):
                 self.run_callbacks("on_train_batch_start")
                 if a.profile and epoch == start_epoch and bi == 2 \
@@ -290,13 +291,15 @@ class DetectionTrainer:
                     dev_batch, jnp.float32(self._lr_at(step, "bias")),
                     jnp.float32(self._lr_at(step, "weight")),
                     jnp.float32(self._momentum_at(step)))
-                mloss = (mloss * bi + np.asarray(items)) / (bi + 1)
+                items_log.append(items)
                 if a.profile and epoch == start_epoch and bi == 2 \
                         and jax.process_index() == 0:
                     jax.block_until_ready(total)
                     jax.profiler.stop_trace()
                 step += 1
                 self.run_callbacks("on_train_batch_end")
+            mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
+                                                  for it in items_log])), axis=0)
             epoch_time = time.time() - t0
             lr_now = self._lr_at(step, "weight")
 

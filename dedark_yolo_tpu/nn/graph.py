@@ -119,7 +119,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         c1 = in_ch(f_tuple[0])
         stride = in_stride(f_tuple[0])
 
-        if m in _CONVLIKE:
+        if m == "Classify" and i == len(rows) - 1:
+            # terminal Classify layer = classification head (the reference's
+            # c2 != nc guard keeps nc unscaled, tasks.py:864-866)
+            head = {"name": "Classify", "nc": args[0], "strides": (stride,),
+                    "from": f_tuple, "ch": (c1,), "index": i}
+            c2 = args[0]
+        elif m in _CONVLIKE:
             c2 = args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
@@ -315,7 +321,7 @@ class YOLOGraph(nn.Module):
                     y = mod(inp, train=train)
             if spec.i in self.save:
                 saved[spec.i] = y
-        return raw
+        return raw if raw is not None else y
 
 
 class DetectionModel:
@@ -334,6 +340,7 @@ class DetectionModel:
         self.nc = self.yaml["nc"]
         self.specs, self.save, self.head = parse_model(self.yaml, ch=3, verbose=verbose)
         self.strides = self.head["strides"]
+        self.task = "classify" if self.head["name"] == "Classify" else "detect"
         self.reg_max = 16
         self.no = self.nc + 4 * self.reg_max
         self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
@@ -358,10 +365,13 @@ class DetectionModel:
         return raw, updates["batch_stats"]
 
     def apply_eval(self, variables, x, dedark_A=None, IcA=None, decode=True):
-        """Forward in eval mode; returns (boxes_xywh, scores) if decode else raw."""
+        """Forward in eval mode; returns (boxes_xywh, scores) for detect,
+        softmax class probabilities for classify, raw maps if decode=False."""
         raw = self.module.apply(variables, x, dedark_A=dedark_A, IcA=IcA, train=False)
         if not decode:
             return raw
+        if self.task == "classify":
+            return jax.nn.softmax(raw, axis=-1)
         return decode_detections(raw, self.nc, self.strides, self.reg_max)
 
     def num_params(self, variables):
