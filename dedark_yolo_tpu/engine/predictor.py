@@ -136,16 +136,24 @@ class DetectionPredictor:
         buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
         self._writers = {}
 
+        from .. import native as _native
+        use_native = _native.available()
+
         def flush():
             nonlocal buf_paths, buf_imgs, buf_orig, buf_meta
             if not buf_imgs:
                 return
             n = len(buf_imgs)
-            # pad the tail batch to the static batch size
-            while len(buf_imgs) < batch_size:
-                buf_imgs.append(np.zeros_like(buf_imgs[0]))
             t0 = time.perf_counter()
-            arr = np.stack(buf_imgs)
+            if use_native:
+                # batched GIL-free letterbox (C++ thread pool); buf_imgs holds
+                # raw BGR originals in this mode
+                srcs = buf_imgs + [buf_imgs[0]] * (batch_size - n)
+                arr = _native.letterbox_batch(srcs, imgsz, fill=114, swap_rb=True)
+            else:
+                while len(buf_imgs) < batch_size:
+                    buf_imgs.append(np.zeros_like(buf_imgs[0]))
+                arr = np.stack(buf_imgs)
             out = self._step(self.params, self.batch_stats, jnp.asarray(arr))
             dets = np.asarray(out["dets"])
             counts = np.asarray(out["counts"])
@@ -170,9 +178,12 @@ class DetectionPredictor:
             buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
 
         for path, img, meta in load_source(source, vid_stride=int(a.vid_stride)):
-            lb, _, _ = letterbox(img, imgsz)
+            if use_native:
+                buf_imgs.append(img)  # letterboxed in C++ at flush time
+            else:
+                lb, _, _ = letterbox(img, imgsz)
+                buf_imgs.append(np.ascontiguousarray(lb[..., ::-1]))  # RGB
             buf_paths.append(path)
-            buf_imgs.append(np.ascontiguousarray(lb[..., ::-1]))  # RGB
             buf_orig.append(img)
             buf_meta.append(meta)
             if len(buf_imgs) == batch_size:

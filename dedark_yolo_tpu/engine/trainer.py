@@ -149,8 +149,17 @@ class DetectionTrainer:
         dark_param = self.dark_param
         use_computed_priors = (getattr(a, "prior_mode", "default") == "computed")
 
+        use_bf16 = bool(a.amp)  # on TPU 'amp' = bf16 compute, no loss scaling
+
         def loss_fn(params, batch_stats, batch):
-            clean = batch["img"].astype(jnp.float32) / 255.0
+            if use_bf16:
+                # master params stay f32 in the optimizer; forward runs bf16
+                # (grad of the cast maps bf16 grads back to f32 params)
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if p.dtype == jnp.float32 else p, params)
+            clean = batch["img"].astype(jnp.bfloat16 if use_bf16
+                                        else jnp.float32) / 255.0
             dedark_A, IcA = None, None
             if dedark and lowlight:
                 # reference uses clean = clean ** dark_param then img = clean
@@ -166,12 +175,15 @@ class DetectionTrainer:
                 img = clean
             variables = {"params": params, "batch_stats": batch_stats}
             raw, new_stats = model.apply_train(variables, img, dedark_A, IcA)
+            if use_bf16:
+                raw = [r.astype(jnp.float32) for r in raw]  # loss math in f32
             lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
                       "mask_gt": batch["mask_gt"]}
             # recovery loss: model's enhanced output vs clean target would need
             # the enhanced image; reference defines it as mse(degraded, clean)
             # computed in preprocess (detect/train.py:108) — same here.
-            lbatch["recovery_loss"] = jnp.mean((img - clean) ** 2)
+            lbatch["recovery_loss"] = jnp.mean(
+                (img.astype(jnp.float32) - clean.astype(jnp.float32)) ** 2)
             total, items = detection_loss(raw, lbatch, nc=nc, strides=strides,
                                           hyp=hyp)
             return total, (items, new_stats)
