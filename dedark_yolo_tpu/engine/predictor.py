@@ -129,6 +129,8 @@ class DetectionPredictor:
 
     def stream_inference(self, source):
         a = self.args
+        from ..utils.checks import check_imgsz
+        a.imgsz = check_imgsz(a.imgsz, stride=32)
         if self._step is None:
             self._step = self._make_step()
         imgsz = a.imgsz if isinstance(a.imgsz, int) else a.imgsz[0]

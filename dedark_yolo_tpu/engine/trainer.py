@@ -208,6 +208,8 @@ class DetectionTrainer:
     def train(self):
         a = self.args
         assert self.data, "data yaml required for training"
+        from ..utils.checks import check_imgsz
+        a.imgsz = check_imgsz(a.imgsz, stride=32)
         self.run_callbacks("on_pretrain_routine_start")
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", dict(vars(a)))

@@ -79,6 +79,8 @@ class DetectionValidator:
     def __call__(self, model=None, params=None, batch_stats=None, mesh=None,
                  with_loss=False):
         a = self.args
+        from ..utils.checks import check_imgsz
+        a.imgsz = check_imgsz(a.imgsz, stride=32)
         data = self.data or check_det_dataset(a.data)
         names = data["names"]
         nc = data["nc"]

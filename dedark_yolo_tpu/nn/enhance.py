@@ -82,7 +82,10 @@ def regress_filter_params(features):
     """
     dedark_w = tanh_range(features[:, DEDARK_SLOT:DEDARK_SLOT + 1], *DEFOG_RANGE)  # (B,1)
 
-    wb_feat = features[:, WB_SLOTS] * jnp.asarray([0.0, 1.0, 1.0])
+    # dtype-preserving mask: an f32 constant here would silently upcast the
+    # whole downstream image path (and the backbone) under bf16 compute
+    wb_feat = features[:, WB_SLOTS] * jnp.asarray([0.0, 1.0, 1.0],
+                                                  dtype=features.dtype)
     scale = jnp.exp(tanh_range(wb_feat, -WB_LOG_RANGE, WB_LOG_RANGE))
     lum = 1e-5 + 0.27 * scale[:, 0] + 0.67 * scale[:, 1] + 0.06 * scale[:, 2]
     wb_scale = scale / lum[:, None]  # (B,3)

@@ -113,3 +113,26 @@ def test_confusion_matrix_empty_paths():
     assert cm.matrix.sum() == 0
     cm.process_batch(np.array([[0, 0, 5, 5, 0.9, 1]]), np.zeros((0, 4)), np.zeros(0))
     assert cm.matrix[1, 2] == 1
+
+
+def test_settings_manager(tmp_path):
+    from dedark_yolo_tpu.utils.settings import SettingsManager
+    f = tmp_path / "settings.yaml"
+    s = SettingsManager(file=f)
+    assert f.is_file()
+    assert "datasets_dir" in s
+    # corrupt -> heal
+    f.write_text("not: valid: settings: { [")
+    s2 = SettingsManager(file=f)
+    assert "datasets_dir" in s2
+    # drifted keys -> reset
+    f.write_text("foo: 1\n")
+    s3 = SettingsManager(file=f)
+    assert "runs_dir" in s3 and "foo" not in s3
+
+
+def test_check_imgsz():
+    from dedark_yolo_tpu.utils.checks import check_imgsz
+    assert check_imgsz(640) == 640
+    assert check_imgsz(100) == 128
+    assert check_imgsz([100, 640]) == [128, 640]
