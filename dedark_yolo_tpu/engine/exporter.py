@@ -37,6 +37,20 @@ class Exporter:
             return decode_detections(raw, model.nc, model.strides, model.reg_max)
 
         example = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        if fmt in ("export", "bin", "serialized"):
+            # weight-embedded compiled artifact, loadable by AutoBackend('.bin')
+            # — the TPU analogue of a TensorRT engine export
+            def infer_u8(img_u8):
+                b, s = infer(img_u8.astype(jnp.float32) / 255.0)
+                return b.astype(jnp.float32), s.astype(jnp.float32)
+
+            exp = jax.export.export(jax.jit(infer_u8))(
+                jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
+            path = out_dir / "model.bin"
+            path.write_bytes(exp.serialize())
+            LOGGER.info(f"exported jax.export artifact to {path} "
+                        f"({path.stat().st_size / 1e6:.1f} MB)")
+            return str(path)
         if fmt == "stablehlo":
             lowered = jax.jit(infer).lower(example)
             path = out_dir / "model.stablehlo.mlir"

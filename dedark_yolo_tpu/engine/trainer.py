@@ -418,7 +418,11 @@ class DetectionTrainer:
             epoch=epoch, best_fitness=self.best_fitness,
             updates=int(ema_updates),
             train_args=dict(vars(self.args)), model_yaml=self.model.yaml)
-        save_checkpoint(self.wdir / "last.npz", **common)
+        # last.npz carries optimizer state for exact resume (reference
+        # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
+        # reference's strip_optimizer deployment checkpoints)
+        save_checkpoint(self.wdir / "last.npz",
+                        opt_state=self._gather_host(opt_state), **common)
         if fitness >= self.best_fitness:
             save_checkpoint(self.wdir / "best.npz", **common)
         if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
@@ -433,6 +437,8 @@ class DetectionTrainer:
         params = restore_tree(flat, "params", params)
         batch_stats = restore_tree(flat, "batch_stats", batch_stats)
         ema_params = restore_tree(flat, "ema", ema_params)
+        if any(k.startswith("opt/") for k in flat):
+            opt_state = restore_tree(flat, "opt", opt_state)
         ema_updates = jnp.asarray(meta["updates"], jnp.int32)
         self.best_fitness = meta["best_fitness"]
         start = meta["epoch"] + 1

@@ -135,3 +135,19 @@ def test_predict_save_enhanced(trained, synth_yaml, tmp_path):
     assert np.isfinite(r.enhanced_img).all()
     enh = sorted((tmp_path / "predict").glob("*_enhanced.jpg"))
     assert len(enh) == 4
+
+
+def test_export_bin_and_autobackend(trained, tmp_path):
+    """jax.export round trip: exported .bin loads in AutoBackend and matches the
+    live model's decode."""
+    from dedark_yolo_tpu.engine.autobackend import AutoBackend
+    model, _, run_dir = trained
+    path = model.export(format="export", imgsz=96, batch=1, project=str(tmp_path))
+    assert Path(path).stat().st_size > 1000
+    backend = AutoBackend(path, imgsz=96, batch=1).warmup()
+    img = np.random.default_rng(0).integers(0, 255, (1, 96, 96, 3), dtype=np.uint8)
+    b1, s1 = backend.forward(img)
+    live = AutoBackend(str(run_dir / "weights" / "best.npz"), imgsz=96, batch=1)
+    b2, s2 = live.forward(img)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
