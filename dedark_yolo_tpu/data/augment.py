@@ -274,14 +274,15 @@ class TrainTransforms:
 
 
 class ValTransforms:
-    """LetterBox only (reference dataset.py:146-150)."""
+    """LetterBox only (reference dataset.py:146-150). `imgsz` may be an int or a
+    rectangular (h, w) target for rect-val buckets."""
 
     def __init__(self, imgsz=640):
         self.imgsz = imgsz
 
     def __call__(self, get_sample, index, rng=None):
-        sm = get_sample(index, self.imgsz)
-        orig_h, orig_w = get_sample.orig_shape(index)
+        max_side = self.imgsz if isinstance(self.imgsz, int) else max(self.imgsz)
+        sm = get_sample(index, max_side)
         img, ratio, (dw, dh) = letterbox(sm.img, self.imgsz, scaleup=True)
         boxes = sm.boxes.copy()
         if len(boxes):

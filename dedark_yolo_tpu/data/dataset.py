@@ -153,6 +153,22 @@ class YOLODataset:
     def __len__(self):
         return len(self.im_files)
 
+    def image_shapes(self):
+        """(n, 2) array of original (h, w) per image, header-only reads (PIL),
+        cached. Used by rect-val aspect bucketing (reference base.py:211-234)."""
+        if not hasattr(self, "_shapes"):
+            from PIL import Image
+            shapes = []
+            for f in self.im_files:
+                try:
+                    with Image.open(f) as im:
+                        w, h = im.size
+                except Exception:
+                    h, w = self._read(0).shape[:2]
+                shapes.append((h, w))
+            self._shapes = np.asarray(shapes, np.int32)
+        return self._shapes
+
     def random_index(self, rng: random.Random):
         return rng.randrange(len(self.im_files))
 

@@ -43,8 +43,9 @@ class DataLoader:
 
     def __init__(self, dataset, transforms, batch_size, max_boxes=128, shuffle=True,
                  seed=0, workers=8, drop_last=True, process_index=0, process_count=1,
-                 prefetch=2):
+                 prefetch=2, indices=None):
         self.dataset = dataset
+        self.indices = list(indices) if indices is not None else None
         self.transforms = transforms
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -62,8 +63,8 @@ class DataLoader:
         self.epoch = epoch
 
     def _indices(self):
-        n = len(self.dataset)
-        idx = list(range(n))
+        idx = list(self.indices) if self.indices is not None \
+            else list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
         # shard across hosts

@@ -86,9 +86,28 @@ class DetectionValidator:
         nc = data["nc"]
         ds = YOLODataset(data[a.split], imgsz=a.imgsz, nc=nc,
                          single_cls=a.single_cls)
-        dl = DataLoader(ds, ValTransforms(imgsz=a.imgsz), a.batch,
-                        max_boxes=a.max_boxes, shuffle=False, workers=a.workers,
-                        drop_last=False)
+        if a.rect:
+            # rect val: quantized aspect buckets, one static shape per bucket
+            # (reference base.py:211-234 sorts by aspect; here each bucket gets
+            # its own jit specialization of the same val step)
+            import math as _math
+            buckets = {}
+            for i, (h, w) in enumerate(ds.image_shapes()):
+                ar = h / max(w, 1)
+                if ar >= 1:
+                    th, tw = a.imgsz, max(_math.ceil(a.imgsz / ar / 32) * 32, 32)
+                else:
+                    th, tw = max(_math.ceil(a.imgsz * ar / 32) * 32, 32), a.imgsz
+                buckets.setdefault((th, tw), []).append(i)
+            loaders = [DataLoader(ds, ValTransforms(imgsz=shape), a.batch,
+                                  max_boxes=a.max_boxes, shuffle=False,
+                                  workers=a.workers, drop_last=False,
+                                  indices=idxs)
+                       for shape, idxs in sorted(buckets.items())]
+        else:
+            loaders = [DataLoader(ds, ValTransforms(imgsz=a.imgsz), a.batch,
+                                  max_boxes=a.max_boxes, shuffle=False,
+                                  workers=a.workers, drop_last=False)]
         hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
         cache_key = bool(with_loss)
         if not hasattr(self, "_val_step_cache"):
@@ -107,7 +126,7 @@ class DetectionValidator:
 
         jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
         img_id = 0
-        for batch in dl:
+        for batch in (b for dl in loaders for b in dl):
             bsz = batch["img"].shape[0]
             t0 = time.perf_counter()
             out = val_step(params, batch_stats, batch)
@@ -121,13 +140,14 @@ class DetectionValidator:
             n_batches += 1
 
             t1 = time.perf_counter()
-            imgsz = batch["img"].shape[1]
+            bh, bw = batch["img"].shape[1], batch["img"].shape[2]
+            gt_scale = np.asarray([bw, bh, bw, bh], np.float32)
             for i in range(bsz):
                 n_images += 1
                 k = int(counts[i])
                 det = dets[i, :k]          # (k, 6) xyxy conf cls (letterbox frame)
                 m = batch["mask_gt"][i] > 0
-                gt_xywh = batch["bboxes"][i][m] * imgsz
+                gt_xywh = batch["bboxes"][i][m] * gt_scale
                 gt_cls = batch["cls"][i][m]
                 gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh))) if len(gt_xywh) \
                     else np.zeros((0, 4), np.float32)

@@ -151,3 +151,18 @@ def test_export_bin_and_autobackend(trained, tmp_path):
     b2, s2 = live.forward(img)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+
+
+def test_rect_val(trained, synth_yaml):
+    """rect=True buckets val images by aspect into static shapes; metrics stay
+    consistent with square val."""
+    from dedark_yolo_tpu import YOLO
+    _, _, run_dir = trained
+    model = YOLO(str(run_dir / "weights" / "best.npz"))
+    m_sq = model.val(data=synth_yaml, imgsz=96, batch=4, workers=2, rect=False,
+                     max_boxes=16, max_nms=256, max_det=20, plots=False)
+    m_rc = model.val(data=synth_yaml, imgsz=96, batch=4, workers=2, rect=True,
+                     max_boxes=16, max_nms=256, max_det=20, plots=False)
+    assert "metrics/mAP50(B)" in m_rc
+    # same data, slightly different resampling: results in the same ballpark
+    assert abs(m_rc["metrics/mAP50(B)"] - m_sq["metrics/mAP50(B)"]) < 0.5
