@@ -210,6 +210,17 @@ class DetectionTrainer:
         assert self.data, "data yaml required for training"
         from ..utils.checks import check_imgsz
         a.imgsz = check_imgsz(a.imgsz, stride=32)
+        # multi-host: initialize the jax distributed runtime when launched with
+        # coordinator env vars (replaces the reference's torch.distributed.run
+        # re-exec, dist.py:26-61 — on TPU the launcher IS the runtime)
+        import os as _os
+        if (_os.environ.get("JAX_COORDINATOR_ADDRESS")
+                and jax.process_count() == 1
+                and not getattr(jax.distributed, "_initialized", False)):
+            try:
+                jax.distributed.initialize()
+            except Exception as e:
+                LOGGER.info(f"jax.distributed.initialize failed: {e}")
         self.run_callbacks("on_pretrain_routine_start")
         self.wdir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", dict(vars(a)))
@@ -292,6 +303,15 @@ class DetectionTrainer:
             # loop never blocks on the step (async dispatch overlaps data prep)
             for bi, batch in enumerate(train_dl):
                 self.run_callbacks("on_train_batch_start")
+                if a.plots and epoch == start_epoch and bi < 3 \
+                        and jax.process_index() == 0:
+                    # train-batch mosaics (reference plot_images, plotting.py:312)
+                    try:
+                        from ..utils.plotting import plot_images
+                        plot_images(batch, self.save_dir / f"train_batch{bi}.jpg",
+                                    names=self.data.get("names"))
+                    except Exception:
+                        pass
                 if a.profile and epoch == start_epoch and bi == 2 \
                         and jax.process_index() == 0:
                     # one traced step after warmup (reference profiles per layer

@@ -92,6 +92,39 @@ class Conv2d(nn.Module):
                        kernel_dilation=(self.d, self.d), use_bias=self.bias)(x)
 
 
+class Conv2(nn.Module):
+    """Parallel 3x3 + 1x1 conv sharing one BN (simplified RepConv).
+    Reference conv.py:58-76."""
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k)
+        y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
+                    use_bias=False)(x)
+        y = y + nn.Conv(self.c2, (1, 1), strides=(self.s, self.s),
+                        feature_group_count=self.g, use_bias=False)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(y)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(y)
+
+
+class FC(nn.Module):
+    """MLP head: in -> 1024 -> 256 -> 6 with ReLU (reference conv.py:24-35)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jax.nn.relu(nn.Dense(1024)(x))
+        x = jax.nn.relu(nn.Dense(256)(x))
+        return nn.Dense(6)(x)
+
+
 class DWConv(nn.Module):
     """Depthwise conv (+BN+act). Reference conv.py:95-99."""
     c2: int

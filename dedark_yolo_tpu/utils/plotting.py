@@ -117,6 +117,33 @@ def plot_results(csv_path, save_dir=None):
     return out
 
 
+def plot_images(batch, save_path, names=None, max_images=16):
+    """Mosaic of a training/val batch with GT boxes drawn
+    (reference plotting.py:312 plot_images)."""
+    import cv2
+    imgs = batch["img"][:max_images]
+    n = len(imgs)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows_n = int(np.ceil(n / cols))
+    h, w = imgs.shape[1:3]
+    canvas = np.full((rows_n * h, cols * w, 3), 255, np.uint8)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        tile = imgs[i].copy()
+        m = batch["mask_gt"][i] > 0
+        for box, cls in zip(batch["bboxes"][i][m], batch["cls"][i][m]):
+            cx, cy, bw, bh = box * [w, h, w, h]
+            x1, y1 = int(cx - bw / 2), int(cy - bh / 2)
+            x2, y2 = int(cx + bw / 2), int(cy + bh / 2)
+            cv2.rectangle(tile, (x1, y1), (x2, y2), (255, 64, 64), 1)
+            label = str((names or {}).get(int(cls), int(cls)))
+            cv2.putText(tile, label, (x1, max(y1 - 2, 8)), 0, 0.4, (255, 64, 64), 1)
+        canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = tile
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(save_path), canvas[..., ::-1])
+    return save_path
+
+
 def annotate_image(img_rgb, dets, names=None, line_width=None):
     """Draw (n, 6) [xyxy, conf, cls] detections on an RGB uint8 image."""
     import cv2

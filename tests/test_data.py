@@ -132,3 +132,14 @@ def test_voc_converter(tmp_path):
     assert (out / "images" / "train" / "im0.jpg").is_file()
     d = check_det_dataset(yaml_path)
     assert d["nc"] == 2
+
+
+def test_autosplit(synth):
+    from dedark_yolo_tpu.data.split import autosplit
+    from pathlib import Path
+    img_dir = Path(synth["train"])
+    files = autosplit(img_dir, weights=(0.75, 0.25, 0.0), seed=0)
+    train_list = files[0].read_text().strip().splitlines()
+    val_list = files[1].read_text().strip().splitlines() if files[1].exists() else []
+    assert len(train_list) + len(val_list) == 8
+    assert all(l.startswith("./") for l in train_list)

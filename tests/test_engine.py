@@ -147,8 +147,11 @@ def test_export_bin_and_autobackend(trained, tmp_path):
     backend = AutoBackend(path, imgsz=96, batch=1).warmup()
     img = np.random.default_rng(0).integers(0, 255, (1, 96, 96, 3), dtype=np.uint8)
     b1, s1 = backend.forward(img)
-    live = AutoBackend(str(run_dir / "weights" / "best.npz"), imgsz=96, batch=1)
-    b2, s2 = live.forward(img)
+    # compare against the same in-memory model the export came from
+    # (test_resume overwrites best.npz on disk, so don't reload from there)
+    import jax.numpy as jnp
+    v = {"params": model.params, "batch_stats": model.batch_stats}
+    b2, s2 = model.model.apply_eval(v, jnp.asarray(img).astype(jnp.float32) / 255.0)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 

@@ -70,3 +70,16 @@ def test_stride_tracking_stock():
     specs, save, head = parse_model(d)
     assert head["strides"] == (8, 16, 32)
     assert specs[9].stride == 32  # SPPF at P5
+
+
+def test_conv2_and_fc_modules():
+    import jax
+    import jax.numpy as jnp
+    from dedark_yolo_tpu.nn.layers import Conv2, FC
+    x = jnp.zeros((1, 16, 16, 8))
+    m = Conv2(c2=16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 16, 16, 16)
+    f = FC()
+    vf = f.init(jax.random.PRNGKey(0), jnp.zeros((2, 32)))
+    assert f.apply(vf, jnp.zeros((2, 32))).shape == (2, 6)
