@@ -55,13 +55,13 @@ class LayerSpec:
 _CONVLIKE = {
     "Conv", "ConvTranspose", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP",
     "SPPF", "DWConv", "Focus", "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3Ghost",
-    "C3x", "RepC3", "FasterC2f_N", "FasterC2f", "PconvBottleneck",
+    "C3x", "C3TR", "RepC3", "FasterC2f_N", "FasterC2f", "PconvBottleneck",
     "PconvBottleneck_n", "SCConvBottleneck", "SCC2f", "SC_PW_Bottleneck",
     "SC_PW_C2f", "SC_Conv3_Bottleneck", "SC_Conv3_C2f", "Conv3_SC_C2f",
     "Conv3_SC_Bottleneck", "SC_PW_PW_C2f", "Classify",
 }
 _REPEAT_BLOCKS = {
-    "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3Ghost", "C3x", "RepC3",
+    "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3Ghost", "C3x", "C3TR", "RepC3",
     "FasterC2f_N", "FasterC2f", "SCC2f", "SC_PW_C2f", "SC_Conv3_C2f",
     "Conv3_SC_C2f", "SC_PW_PW_C2f",
 }
@@ -179,6 +179,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
             head = {"name": m, "nc": args[0], "strides": strides_in,
                     "from": f_tuple, "ch": tuple(ch_ins), "index": i}
             c2 = 0
+        elif m == "AIFI":
+            c2 = c1
+            args = [c1, *args]
         elif m in ("CBAM", "ChannelAttention", "SpatialAttention"):
             c2 = c1
         else:
@@ -228,6 +231,11 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
         return L.C3(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
     if name == "C3x":
         return L.C3x(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "C3TR":
+        return L.C3TR(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
+    if name == "AIFI":
+        from .transformer import AIFI
+        return AIFI(c=a[0] if a else 256)
     if name == "C3Ghost":
         return L.C3Ghost(c2=a[0], n=a[1])
     if name == "RepC3":

@@ -631,6 +631,24 @@ class CrossConv(nn.Module):
         return jax.nn.silu(x)
 
 
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner (reference block.py:515-522)."""
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .transformer import TransformerBlock
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, 1)(x, train)
+        a = TransformerBlock(c_, 4, self.n)(a, train)
+        b = Conv(c_, 1, 1)(x, train)
+        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+
+
 class RepC3(nn.Module):
     """Reference block.py:499-512."""
     c2: int

@@ -36,3 +36,21 @@ def test_pose_head_shapes_and_decode():
     assert decoded.shape == (1, n, 17, 3)
     vis = np.asarray(decoded[..., 2])
     assert (vis >= 0).all() and (vis <= 1).all()
+
+
+def test_transformer_blocks():
+    from dedark_yolo_tpu.nn.transformer import AIFI, TransformerBlock, MLP
+    from dedark_yolo_tpu.nn.layers import C3TR
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 32))
+    aifi = AIFI(c=32)
+    v = aifi.init(jax.random.PRNGKey(0), x)
+    assert aifi.apply(v, x).shape == x.shape
+    tb = TransformerBlock(c2=32, num_heads=4, n=2)
+    v = tb.init(jax.random.PRNGKey(0), x)
+    assert tb.apply(v, x).shape == x.shape
+    c3tr = C3TR(c2=32, n=1)
+    v = c3tr.init(jax.random.PRNGKey(0), x)
+    assert c3tr.apply(v, x).shape == (1, 8, 8, 32)
+    mlp = MLP(hidden=64, out=4)
+    v = mlp.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)))
+    assert mlp.apply(v, jnp.zeros((2, 16))).shape == (2, 4)
