@@ -99,6 +99,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     rows = list(d["backbone"]) + list(d["head"])
     for i, (f, n, m, args) in enumerate(rows):
         f_tuple = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        # normalize relative from-indices (e.g. -2) to absolute layer indices;
+        # -1 (previous layer) stays symbolic (reference keeps x % i, tasks.py:915)
+        f_tuple = tuple(x if x == -1 else x % i for x in f_tuple)
         args = list(args)
         for j, a in enumerate(args):
             if isinstance(a, str):

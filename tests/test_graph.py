@@ -83,3 +83,29 @@ def test_conv2_and_fc_modules():
     f = FC()
     vf = f.init(jax.random.PRNGKey(0), jnp.zeros((2, 32)))
     assert f.apply(vf, jnp.zeros((2, 32))).shape == (2, 6)
+
+
+VARIANTS = ["yolov8-mfru-rbf-asff.yaml", "yolov8-faster.yaml",
+            "yolov8-faster-twohead.yaml", "yolov8-p2.yaml", "yolov8-p6.yaml",
+            "yolov8-rbf.yaml", "yolov8-cls.yaml"]
+
+
+@pytest.mark.parametrize("name", VARIANTS)
+def test_variant_yamls_build(name):
+    """Every shipped variant yaml parses and its graph initializes.
+
+    ASFF/MFRU variants use the reference's hardcoded L-scale dims (the reference
+    README warns these only fit the L scale), so they build at 'l'."""
+    d = model_yaml_load(f"dedark_yolo_tpu/cfg/models/{name}")
+    d["scale"] = "l" if ("asff" in name or "twohead" in name) else "n"
+    m = DetectionModel(d)
+    sz = 128 if "p6" in name else 64
+    shapes = jax.eval_shape(m.module.init, jax.random.PRNGKey(0),
+                            jax.ShapeDtypeStruct((1, sz, sz, 3), np.float32))
+    assert "params" in shapes
+    if "p6" in name:
+        assert m.head["strides"] == (8, 16, 32, 64)
+    if "p2" in name:
+        assert m.head["strides"] == (4, 8, 16, 32)
+    if "twohead" in name:
+        assert len(m.head["strides"]) == 2
