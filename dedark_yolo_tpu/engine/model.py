@@ -27,6 +27,14 @@ class YOLO:
         self.batch_stats = None
         self.ckpt_path = None
         self.metrics = None
+        if isinstance(model, (list, tuple)):
+            # weight ensemble: average params of same-architecture checkpoints
+            # (reference attempt_load_weights/Ensemble, tasks.py:534,633-707 —
+            # the reference forwards all members and concatenates NMS inputs;
+            # parameter averaging is the jit-friendly equivalent for
+            # same-architecture members)
+            self._load_ensemble([str(m) for m in model])
+            return
         model = str(model)
         if model.endswith((".yaml", ".yml")):
             self._new(model)
@@ -62,6 +70,19 @@ class YOLO:
                 self.overrides[k] = train_args[k]
         if "names" in train_args:
             self.model.names = train_args["names"]
+
+    def _load_ensemble(self, paths):
+        self._load(paths[0])
+        if len(paths) == 1:
+            return
+        trees = [self.params]
+        for p in paths[1:]:
+            other = YOLO(p)
+            trees.append(other.params)
+        n = float(len(trees))
+        self.params = jax.tree_util.tree_map(
+            lambda *xs: sum(np.asarray(x, np.float32) for x in xs) / n, *trees)
+        LOGGER.info(f"ensembled {len(trees)} checkpoints (parameter average)")
 
     # ------------------------------------------------------------------ modes
     def _ensure_params(self, imgsz=640):

@@ -169,3 +169,18 @@ def test_rect_val(trained, synth_yaml):
     assert "metrics/mAP50(B)" in m_rc
     # same data, slightly different resampling: results in the same ballpark
     assert abs(m_rc["metrics/mAP50(B)"] - m_sq["metrics/mAP50(B)"]) < 0.5
+
+
+def test_ensemble_load(trained):
+    """List-of-checkpoints spec averages parameters (Ensemble equivalent)."""
+    from dedark_yolo_tpu import YOLO
+    import jax
+    _, _, run_dir = trained
+    last = str(run_dir / "weights" / "last.npz")
+    best = str(run_dir / "weights" / "best.npz")
+    single = YOLO(best)
+    ens = YOLO([best, last])
+    l1 = jax.tree_util.tree_leaves(single.params)
+    l2 = jax.tree_util.tree_leaves(ens.params)
+    assert len(l1) == len(l2)
+    assert all(a.shape == np.asarray(b).shape for a, b in zip(l1, l2))
