@@ -92,9 +92,21 @@ class YOLO:
             self.params, self.batch_stats = v["params"], v["batch_stats"]
 
     def train(self, **kwargs):
-        from .trainer import DetectionTrainer
         overrides = {**self.overrides, **kwargs, "mode": "train"}
-        trainer = DetectionTrainer(overrides)
+        task = getattr(self.model, "task", "detect")
+        # TASK_MAP dispatch (reference engine/model.py:17-26)
+        if task == "classify":
+            from .classify import ClassificationTrainer
+            trainer = ClassificationTrainer(overrides)
+        elif task == "segment":
+            from .segment import SegmentationTrainer
+            trainer = SegmentationTrainer(overrides)
+        elif task == "pose":
+            from .pose import PoseTrainer
+            trainer = PoseTrainer(overrides)
+        else:
+            from .trainer import DetectionTrainer
+            trainer = DetectionTrainer(overrides)
         self.trainer = trainer
         metrics = trainer.train()
         # reload best like the reference (model.py:352-358)

@@ -104,6 +104,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         f_tuple = tuple(x if x == -1 else x % i for x in f_tuple)
         args = list(args)
         for j, a in enumerate(args):
+            if isinstance(a, list):
+                args[j] = tuple(a)  # keep LayerSpec hashable (e.g. kpt_shape)
             if isinstance(a, str):
                 if a == "nc":
                     args[j] = nc
@@ -179,8 +181,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         elif m in _HEADS:
             ch_ins = [in_ch(x) for x in f_tuple]
             strides_in = tuple(in_stride(x) for x in f_tuple)
+            if m == "Segment" and len(args) > 2:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             head = {"name": m, "nc": args[0], "strides": strides_in,
-                    "from": f_tuple, "ch": tuple(ch_ins), "index": i}
+                    "from": f_tuple, "ch": tuple(ch_ins), "index": i,
+                    "args": tuple(args)}
             c2 = 0
         elif m == "AIFI":
             c2 = c1
@@ -280,6 +285,17 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
         return Detect(nc=head["nc"], strides=head["strides"])
     if name == "AsffDetect":
         return AsffDetect(nc=head["nc"], strides=head["strides"])
+    if name == "Segment":
+        from .heads import Segment
+        ha = head.get("args", ())
+        return Segment(nc=head["nc"], nm=ha[1] if len(ha) > 1 else 32,
+                       npr=ha[2] if len(ha) > 2 else 256,
+                       strides=head["strides"])
+    if name == "Pose":
+        from .heads import Pose
+        ha = head.get("args", ())
+        kpt = tuple(ha[1]) if len(ha) > 1 and ha[1] else (17, 3)
+        return Pose(nc=head["nc"], kpt_shape=kpt, strides=head["strides"])
     if name in ("nn.Upsample", "Concat", "nn.BatchNorm2d"):
         return None  # functional
     raise NotImplementedError(f"no builder for module '{name}'")
@@ -351,7 +367,8 @@ class DetectionModel:
         self.nc = self.yaml["nc"]
         self.specs, self.save, self.head = parse_model(self.yaml, ch=3, verbose=verbose)
         self.strides = self.head["strides"]
-        self.task = "classify" if self.head["name"] == "Classify" else "detect"
+        self.task = {"Classify": "classify", "Segment": "segment",
+                     "Pose": "pose"}.get(self.head["name"], "detect")
         self.reg_max = 16
         self.no = self.nc + 4 * self.reg_max
         self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
