@@ -11,7 +11,6 @@ the augment pipeline consumes.
 from __future__ import annotations
 
 import hashlib
-import json
 import random
 from pathlib import Path
 

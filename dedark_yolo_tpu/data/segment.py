@@ -17,7 +17,7 @@ import cv2
 import numpy as np
 
 from .augment import letterbox
-from .dataset import IMG_FORMATS, img2label_path, _scan_images
+from .dataset import img2label_path, _scan_images
 
 
 def parse_segment_label(label_path, nc):

@@ -8,7 +8,6 @@ reports top-1/top-5 accuracy.
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 
 import jax

@@ -9,7 +9,6 @@ thresholds on proto-resolution masks, mirroring detect/val matching).
 from __future__ import annotations
 
 import random
-import time
 from pathlib import Path
 
 import jax

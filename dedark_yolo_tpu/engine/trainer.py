@@ -24,7 +24,6 @@ from __future__ import annotations
 import csv
 import math
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -33,7 +32,7 @@ import numpy as np
 
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT, yaml_save
 from .optim import init_opt_state, opt_update, label_params
-from ..data import (YOLODataset, DataLoader, TrainTransforms, ValTransforms,
+from ..data import (YOLODataset, DataLoader, TrainTransforms,
                     check_det_dataset)
 from ..losses import detection_loss
 from ..nn.graph import DetectionModel

@@ -21,7 +21,6 @@ up to boundary clipping.
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -33,9 +32,7 @@ from ..data import YOLODataset, DataLoader, ValTransforms, check_det_dataset
 from ..losses import detection_loss
 from ..ops.boxes import xywh2xyxy
 from ..ops.nms import non_max_suppression
-from ..parallel import make_mesh, shard_batch
 from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions
-from ..utils.metrics import smooth  # noqa: F401  (re-export convenience)
 
 
 class DetectionValidator:

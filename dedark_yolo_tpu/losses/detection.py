@@ -17,7 +17,6 @@ shape [3] (loss.py:388-415).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax

@@ -13,8 +13,6 @@ truncation — raise max_fg for dense scenes).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,6 @@ forward with @torch.no_grad()).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

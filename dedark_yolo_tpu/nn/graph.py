@@ -20,9 +20,9 @@ tasks.py:283-293 — unnecessary here since the graph is static).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.anchors import make_anchors, dist2bbox, dfl_decode
-from .layers import Conv, Conv2d
+from .layers import Conv
 
 
 class Detect(nn.Module):

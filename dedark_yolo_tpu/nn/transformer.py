@@ -14,9 +14,6 @@ matmuls and (for long sequences) XLA's fused attention; C3TR-scale sequences
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

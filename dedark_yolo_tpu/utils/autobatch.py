@@ -11,7 +11,6 @@ static-shape graph.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from . import LOGGER
 

@@ -10,7 +10,6 @@ budgets approximate that here).
 from __future__ import annotations
 
 import random
-from pathlib import Path
 
 from . import LOGGER
 
