@@ -183,6 +183,43 @@ def mosaic4(samples, imgsz, rng=None):
     return Sample(canvas, boxes, cls)
 
 
+def mosaic9(samples, imgsz, rng=None):
+    """3x3 mosaic on a 3s x 3s gray canvas (reference Mosaic n=9 variant,
+    augment.py:118-269). samples: 9 Samples max-side-resized to ~imgsz."""
+    rng = rng or random
+    s = imgsz
+    canvas = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    out_boxes, out_cls = [], []
+    # center tile first, then ring positions (reference order is center + ring)
+    offsets = [(1, 1), (0, 0), (1, 0), (2, 0), (0, 1), (2, 1), (0, 2), (1, 2),
+               (2, 2)]
+    for sm, (cx, cy) in zip(samples, offsets):
+        h, w = sm.img.shape[:2]
+        # jitter placement within the cell so the crop varies like the reference
+        ox = cx * s + rng.randint(0, max(s - w, 0)) if s > w else cx * s
+        oy = cy * s + rng.randint(0, max(s - h, 0)) if s > h else cy * s
+        canvas[oy:oy + h, ox:ox + w] = sm.img
+        if len(sm.boxes):
+            b = sm.boxes.copy()
+            b[:, [0, 2]] += ox
+            b[:, [1, 3]] += oy
+            out_boxes.append(b)
+            out_cls.append(sm.cls)
+    # crop the central 2s x 2s window (reference crops to the final border)
+    x0 = y0 = s // 2
+    canvas = canvas[y0:y0 + 2 * s, x0:x0 + 2 * s]
+    boxes = np.concatenate(out_boxes, 0) if out_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(out_cls, 0) if out_cls else np.zeros((0,), np.float32)
+    if len(boxes):
+        boxes[:, [0, 2]] -= x0
+        boxes[:, [1, 3]] -= y0
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, 2 * s)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, 2 * s)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+        boxes, cls = boxes[keep], cls[keep]
+    return Sample(canvas, boxes, cls)
+
+
 def mixup(sample_a, sample_b, rng=None):
     """MixUp with beta(32, 32) (reference augment.py MixUp)."""
     rng = rng or random
@@ -202,18 +239,21 @@ class TrainTransforms:
     pre_transform path.
     """
 
-    def __init__(self, hyp, imgsz=640):
+    def __init__(self, hyp, imgsz=640, n_mosaic=4):
         self.hyp = hyp
         self.imgsz = imgsz
+        self.n_mosaic = n_mosaic  # 4 (2x2) or 9 (3x3), like the reference Mosaic
         self.mosaic_enabled = True
 
     def __call__(self, get_sample, index, rng: random.Random):
         h = self.hyp
         use_mosaic = self.mosaic_enabled and rng.random() < h.get("mosaic", 1.0)
         if use_mosaic:
-            idxs = [index] + [get_sample.random_index(rng) for _ in range(3)]
-            sample = mosaic4([get_sample(i, self.imgsz) for i in idxs],
-                             self.imgsz, rng)
+            n_extra = self.n_mosaic - 1
+            idxs = [index] + [get_sample.random_index(rng) for _ in range(n_extra)]
+            mosaic_fn = mosaic9 if self.n_mosaic == 9 else mosaic4
+            sample = mosaic_fn([get_sample(i, self.imgsz) for i in idxs],
+                               self.imgsz, rng)
             border = (-self.imgsz // 2, -self.imgsz // 2)
         else:
             sm = get_sample(index, self.imgsz)

@@ -116,6 +116,7 @@ class YOLODataset:
         self.label_files = [img2label_path(f) for f in self.im_files]
         self.labels = self._load_cache()
         self._ram = {} if cache in (True, "ram") else None
+        self._disk = cache == "disk"  # .npy sidecars (reference base.py:171-209)
 
     # -- label cache -------------------------------------------------------
     def _hash(self):
@@ -178,9 +179,18 @@ class YOLODataset:
     def _read(self, index):
         if self._ram is not None and index in self._ram:
             return self._ram[index]
+        if self._disk:
+            npy = Path(self.im_files[index]).with_suffix(".npy")
+            if npy.is_file():
+                return np.load(npy)
         img = cv2.imread(self.im_files[index])
         if img is None:
             raise FileNotFoundError(f"image not found: {self.im_files[index]}")
+        if self._disk:
+            try:
+                np.save(Path(self.im_files[index]).with_suffix(".npy"), img)
+            except OSError:
+                pass
         if self._ram is not None:
             self._ram[index] = img
         return img

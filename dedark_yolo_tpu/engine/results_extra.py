@@ -1,0 +1,55 @@
+"""Masks/Keypoints result containers (reference engine/results.py:457,521).
+
+Returned by segment/pose predictors; numpy-backed like Boxes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Masks:
+    """(n, mh, mw) binary instance masks in proto space + orig shape scaling."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        """Per-instance mask contours in original-image pixels."""
+        import cv2
+        h, w = self.orig_shape
+        mh, mw = self.data.shape[1:]
+        out = []
+        for m in self.data.astype(np.uint8):
+            cs, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            if cs:
+                c = max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+                c[:, 0] *= w / mw
+                c[:, 1] *= h / mh
+                out.append(c)
+            else:
+                out.append(np.zeros((0, 2), np.float32))
+        return out
+
+
+class Keypoints:
+    """(n, nk, 3) keypoints [x, y, visibility] in original-image pixels."""
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None

@@ -143,3 +143,40 @@ def test_autosplit(synth):
     val_list = files[1].read_text().strip().splitlines() if files[1].exists() else []
     assert len(train_list) + len(val_list) == 8
     assert all(l.startswith("./") for l in train_list)
+
+
+def test_mosaic9(synth):
+    import random
+    from dedark_yolo_tpu.data.augment import mosaic9
+    ds = YOLODataset(synth["train"], imgsz=96, nc=3)
+    rng = random.Random(0)
+    sample = mosaic9([ds(i % len(ds), 96) for i in range(9)], 96, rng)
+    assert sample.img.shape == (192, 192, 3)
+    assert len(sample.boxes) == len(sample.cls)
+    if len(sample.boxes):
+        assert (sample.boxes >= 0).all() and (sample.boxes <= 192).all()
+
+
+def test_train_transforms_mosaic9(synth):
+    import random
+    hyp = {"mosaic": 1.0, "fliplr": 0.0, "translate": 0.1, "scale": 0.5}
+    ds = YOLODataset(synth["train"], imgsz=96, nc=3)
+    tf = TrainTransforms(hyp, imgsz=96, n_mosaic=9)
+    img, xywh, cls = tf(ds, 0, random.Random(0))
+    assert img.shape == (96, 96, 3)
+
+
+def test_disk_cache(synth, tmp_path):
+    import shutil
+    from pathlib import Path
+    src = Path(synth["val"])
+    dst = tmp_path / "imgs"
+    shutil.copytree(src, dst)
+    # also copy labels dir so the cache hash works
+    shutil.copytree(Path(synth["path"]) / "labels" / "val", tmp_path / "labels" / "imgs",
+                    dirs_exist_ok=True)
+    ds = YOLODataset(str(dst), imgsz=96, nc=3, cache="disk")
+    a = ds._read(0)
+    assert (dst / "val0.npy").exists() or any(p.suffix == ".npy" for p in dst.iterdir())
+    b = ds._read(0)  # second read hits the .npy sidecar
+    np.testing.assert_array_equal(a, b)

@@ -54,3 +54,16 @@ def test_transformer_blocks():
     mlp = MLP(hidden=64, out=4)
     v = mlp.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)))
     assert mlp.apply(v, jnp.zeros((2, 16))).shape == (2, 4)
+
+
+def test_masks_keypoints_containers():
+    from dedark_yolo_tpu.engine.results_extra import Masks, Keypoints
+    m = np.zeros((2, 16, 16), np.uint8)
+    m[0, 4:12, 4:12] = 1
+    masks = Masks(m, orig_shape=(64, 64))
+    assert len(masks) == 2
+    contours = masks.xy
+    assert len(contours) == 2 and len(contours[0]) > 0
+    assert contours[0][:, 0].max() <= 64
+    k = Keypoints(np.zeros((3, 17, 3)), orig_shape=(64, 64))
+    assert k.xy.shape == (3, 17, 2) and k.conf.shape == (3, 17)
