@@ -221,9 +221,13 @@ def mosaic9(samples, imgsz, rng=None):
 
 
 def mixup(sample_a, sample_b, rng=None):
-    """MixUp with beta(32, 32) (reference augment.py MixUp)."""
+    """MixUp with beta(32, 32) (reference augment.py MixUp).
+
+    The beta draw comes from the SEEDED per-item rng, keeping the loader's
+    determinism contract (two loaders with the same seed produce identical
+    batches even with mixup > 0)."""
     rng = rng or random
-    r = np.random.beta(32.0, 32.0)
+    r = rng.betavariate(32.0, 32.0)
     img = (sample_a.img.astype(np.float32) * r +
            sample_b.img.astype(np.float32) * (1 - r)).astype(np.uint8)
     boxes = np.concatenate([sample_a.boxes, sample_b.boxes], 0)

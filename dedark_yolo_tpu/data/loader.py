@@ -43,12 +43,15 @@ class DataLoader:
 
     def __init__(self, dataset, transforms, batch_size, max_boxes=128, shuffle=True,
                  seed=0, workers=8, drop_last=True, process_index=0, process_count=1,
-                 prefetch=2, indices=None):
+                 prefetch=2, indices=None, collate_fn=None):
         self.dataset = dataset
         self.indices = list(indices) if indices is not None else None
         self.transforms = transforms
         self.batch_size = batch_size
         self.max_boxes = max_boxes
+        # task-specific collates (segment/pose/classify) plug in here; the
+        # default is the detect fixed-shape collate
+        self.collate_fn = collate_fn or (lambda items: collate(items, max_boxes))
         self.shuffle = shuffle
         self.seed = seed
         self.workers = max(1, workers)
@@ -95,7 +98,7 @@ class DataLoader:
                     chunk = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
                     items = list(ex.map(lambda t: make_item(t[1], t[0]),
                                         enumerate(chunk)))
-                    out_q.put(collate(items, self.max_boxes))
+                    out_q.put(self.collate_fn(items))
             out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -1,9 +1,10 @@
 """Classification task triple: dataset, trainer, validator.
 
 Counterpart of the reference's classify task (models/yolo/classify/), using the
-imagenet-style folder layout root/{train,val}/{class_name}/images. Training is a
-jitted cross-entropy step on the same mesh machinery as detection; validation
-reports top-1/top-5 accuracy.
+imagenet-style folder layout root/{train,val}/{class_name}/images. The trainer
+is the full BaseTrainer loop (warmup, param groups, accumulation, EMA-val,
+checkpoint/resume, EarlyStopping) with a cross-entropy loss; validation reports
+top-1/top-5 accuracy (fitness = (top1+top5)/2, reference ClassifyMetrics).
 """
 
 from __future__ import annotations
@@ -16,10 +17,10 @@ import numpy as np
 
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT
 from ..data.dataset import IMG_FORMATS
+from ..data.loader import DataLoader
 from ..nn.graph import DetectionModel
-from ..parallel import make_mesh, shard_batch, replicate
-from ..utils import LOGGER, ema_init, ema_update, save_checkpoint
-from .optim import init_opt_state, opt_update, label_params
+from ..utils import LOGGER
+from .trainer import BaseTrainer
 
 
 def check_cls_dataset(root):
@@ -73,102 +74,167 @@ class ClassificationDataset:
         return np.ascontiguousarray(img[..., ::-1]), cid
 
 
-class ClassificationTrainer:
-    def __init__(self, overrides=None):
-        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
-        self.save_dir = Path(self.args.project or "runs/classify") / \
-            (self.args.name or "train")
-        self.wdir = self.save_dir / "weights"
+def collate_classify(items):
+    """items: list of (img HWC uint8, class id) -> {'img', 'cls'}."""
+    return {"img": np.stack([p[0] for p in items]),
+            "cls": np.asarray([p[1] for p in items], np.int32)}
 
-    def train(self):
-        import random as _random
-        a = self.args
-        data = check_cls_dataset(a.data)
-        imgsz = a.imgsz if isinstance(a.imgsz, int) else 224
-        ds = ClassificationDataset(data["train"], imgsz, data["names"])
-        val_ds = ClassificationDataset(data.get("val", data["train"]), imgsz,
-                                       data["names"])
-        model = DetectionModel(model_yaml_load(a.model or "yolov8-cls.yaml"),
-                               nc=data["nc"])
+
+class ClassificationTrainer(BaseTrainer):
+    task = "classify"
+    default_model = "yolov8-cls.yaml"
+    loss_names = ("loss",)
+    metric_keys = ("metrics/accuracy_top1", "metrics/accuracy_top5")
+
+    def check_data(self, path):
+        return check_cls_dataset(path)
+
+    def preflight(self):
+        # classify uses plain square resize; no stride rounding needed
+        if not isinstance(self.args.imgsz, int):
+            self.args.imgsz = 224
+
+    def get_model(self):
+        model = DetectionModel(
+            model_yaml_load(self.args.model or self.default_model),
+            nc=self.data["nc"])
         assert model.task == "classify", "model yaml lacks a Classify head"
-        self.model = model
-        variables = model.init(jax.random.PRNGKey(a.seed), imgsz=imgsz)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-        labels = label_params(params)
-        opt_state = init_opt_state(params)
-        ema = ema_init(params)
-        emu = jnp.zeros((), jnp.int32)
-        mesh = make_mesh(devices=jax.devices()[:1]) if a.batch % len(jax.devices()) \
-            else make_mesh()
+        return model
 
-        def loss_fn(p, bs, img, y):
-            logits, ns = model.apply_train({"params": p, "batch_stats": bs},
-                                           img.astype(jnp.float32) / 255.0)
-            onehot = jax.nn.one_hot(y, model.nc)
-            if a.label_smoothing:
-                onehot = onehot * (1 - a.label_smoothing) + \
-                    a.label_smoothing / model.nc
-            loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1))
-            return loss, ns
+    def build_train_loader(self):
+        a = self.args
+        ds = ClassificationDataset(self.data["train"], a.imgsz, self.data["names"])
+        tf = lambda dataset, i, rng: dataset.load(i, train=True, rng=rng)
+        return DataLoader(ds, tf, a.batch, seed=a.seed, workers=a.workers,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count(),
+                          collate_fn=collate_classify)
 
-        def step(p, bs, os_, ema, emu, img, y, lr):
-            (loss, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p, bs, img, y)
-            p, os_ = opt_update(p, g, os_, labels, kind="sgd", lr_bias=lr, lr=lr,
-                                momentum=jnp.float32(a.momentum),
-                                weight_decay=a.weight_decay, accumulate=1)
-            ema, emu = ema_update(ema, p, emu)
-            return p, ns, os_, ema, emu, loss
+    def make_loss_fn(self, model):
+        a = self.args
+        smoothing = float(a.label_smoothing or 0.0)
+        nbs = float(a.nbs)
 
-        jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
-        params = replicate(mesh, params)
-        batch_stats = replicate(mesh, batch_stats)
-        opt_state = replicate(mesh, opt_state)
-        ema = replicate(mesh, ema)
+        def loss_fn(p, bs, batch):
+            logits, ns = model.apply_train(
+                {"params": p, "batch_stats": bs},
+                batch["img"].astype(jnp.float32) / 255.0)
+            onehot = jax.nn.one_hot(batch["cls"], model.nc)
+            if smoothing:
+                onehot = onehot * (1 - smoothing) + smoothing / model.nc
+            ce = -jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)
+            # summed / nbs (reference v8ClassificationLoss loss.py:380-385):
+            # summing micro-batch grads then targets an nbs-sized batch, the
+            # same convention as the detection loss's *batch_size scaling
+            loss = jnp.sum(ce) / nbs
+            return loss, ((jax.lax.stop_gradient(loss),), ns)
 
-        n = len(ds)
-        self.wdir.mkdir(parents=True, exist_ok=True)
-        for epoch in range(a.epochs):
-            order = list(range(n))
-            _random.Random(a.seed + epoch).shuffle(order)
-            rng = _random.Random(a.seed * 7 + epoch)
-            losses = []
-            for bi in range(n // a.batch):
-                idxs = order[bi * a.batch:(bi + 1) * a.batch]
-                pairs = [ds.load(i, train=True, rng=rng) for i in idxs]
-                img = jnp.asarray(np.stack([p[0] for p in pairs]))
-                y = jnp.asarray(np.asarray([p[1] for p in pairs], np.int32))
-                batch = shard_batch(mesh, {"img": img, "y": y})
-                lr = jnp.float32(a.lr0 * max(1 - epoch / a.epochs, 0.01))
-                out = jstep(params, batch_stats, opt_state, ema, emu,
-                            batch["img"], batch["y"], lr)
-                params, batch_stats, opt_state, ema, emu = out[:5]
-                losses.append(out[5])
-            top1, top5 = self._validate(model, ema, batch_stats, val_ds, a.batch)
-            LOGGER.info(f"epoch {epoch + 1}/{a.epochs} "
-                        f"loss {float(jnp.mean(jnp.stack(losses))):.4f} "
-                        f"top1 {top1:.3f} top5 {top5:.3f}")
-        save_checkpoint(self.wdir / "last.npz",
-                        params=jax.tree_util.tree_map(np.asarray, params),
-                        batch_stats=jax.tree_util.tree_map(np.asarray, batch_stats),
-                        ema_params=jax.tree_util.tree_map(np.asarray, ema),
-                        train_args=dict(vars(a)), model_yaml=model.yaml)
-        return {"metrics/accuracy_top1": top1, "metrics/accuracy_top5": top5}
+        return loss_fn
 
-    def _validate(self, model, params, batch_stats, val_ds, batch):
+    def get_validator(self):
+        return ClassificationValidator(
+            args=get_cfg(dict(vars(self.args)), {}),
+            save_dir=self.save_dir, data=self.data)
+
+    def dummy_batch(self, b):
+        a = self.args
+        return {"img": jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
+                "cls": jnp.zeros((b,), jnp.int32)}
+
+
+class ClassificationValidator:
+    """Top-1/top-5 accuracy over the val split (reference ClassifyMetrics)."""
+
+    def __init__(self, args=None, save_dir=None, data=None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+        self.save_dir = Path(save_dir or "runs/classify/val")
+        self.data = data
+
+    def __call__(self, model=None, params=None, batch_stats=None, mesh=None):
+        a = self.args
+        data = self.data or check_cls_dataset(a.data)
+        imgsz = a.imgsz if isinstance(a.imgsz, int) else 224
+        split = a.split if a.split in data else ("val" if "val" in data else "train")
+        ds = ClassificationDataset(data[split], imgsz, data["names"])
+        batch = max(int(a.batch), 1)
+        if not hasattr(self, "_fwd"):
+            self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
+                {"params": p, "batch_stats": bs},
+                img.astype(jnp.float32) / 255.0))
         correct1 = correct5 = total = 0
-        fwd = jax.jit(lambda p, bs, img: model.apply_eval(
-            {"params": p, "batch_stats": bs}, img.astype(jnp.float32) / 255.0))
         k5 = min(5, model.nc)
-        for bi in range(max(len(val_ds) // batch, 1)):
-            idxs = range(bi * batch, min((bi + 1) * batch, len(val_ds)))
-            pairs = [val_ds.load(i) for i in idxs]
+        for bi in range(-(-len(ds) // batch)):
+            idxs = range(bi * batch, min((bi + 1) * batch, len(ds)))
+            pairs = [ds.load(i) for i in idxs]
             if not pairs:
                 break
+            while len(pairs) < batch:   # pad to the jitted static shape
+                pairs.append(pairs[0])
             img = jnp.asarray(np.stack([p[0] for p in pairs]))
             y = np.asarray([p[1] for p in pairs])
-            probs = np.asarray(fwd(params, batch_stats, img))
+            probs = np.asarray(self._fwd(params, batch_stats, img))[:len(idxs)]
+            y = y[:len(idxs)]
             topk = np.argsort(-probs, axis=-1)[:, :k5]
             correct1 += int((topk[:, 0] == y).sum())
             correct5 += int(sum(y[i] in topk[i] for i in range(len(y))))
             total += len(y)
-        return correct1 / max(total, 1), correct5 / max(total, 1)
+        top1 = correct1 / max(total, 1)
+        top5 = correct5 / max(total, 1)
+        LOGGER.info(f"classify val: {total} images top1 {top1:.3f} top5 {top5:.3f}")
+        return {"metrics/accuracy_top1": top1, "metrics/accuracy_top5": top5,
+                "fitness": (top1 + top5) / 2}
+
+
+class ClassificationPredictor:
+    """Streaming classify inference -> Results with Probs (reference
+    models/yolo/classify/predict.py)."""
+
+    def __init__(self, args=None, model=None, params=None, batch_stats=None,
+                 names=None, save_dir=None, members=None):
+        self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.names = names or (model.names if model else {})
+        self.save_dir = Path(save_dir or "runs/classify/predict")
+        self._fwd = None
+
+    def __call__(self, source, stream=False):
+        gen = self.stream_inference(source)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source):
+        import cv2
+        from .predictor import load_source
+        from .results import Results
+        a = self.args
+        imgsz = a.imgsz if isinstance(a.imgsz, int) else 224
+        if self._fwd is None:
+            model = self.model
+            self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
+                {"params": p, "batch_stats": bs},
+                img.astype(jnp.float32) / 255.0))
+        batch = max(int(a.batch), 1)
+        buf = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return
+            n = len(buf)
+            imgs = [cv2.resize(b[1], (imgsz, imgsz))[..., ::-1] for b in buf]
+            while len(imgs) < batch:
+                imgs.append(imgs[0])
+            probs = np.asarray(self._fwd(self.params, self.batch_stats,
+                                         jnp.asarray(np.stack(imgs))))
+            for i in range(n):
+                path, img, _ = buf[i]
+                yield Results(orig_img=np.ascontiguousarray(img[..., ::-1]),
+                              path=path, names=self.names, probs=probs[i])
+            buf = []
+
+        for path, img, meta in load_source(source):
+            buf.append((path, img, meta))
+            if len(buf) == batch:
+                yield from flush()
+        yield from flush()

@@ -28,11 +28,10 @@ class YOLO:
         self.ckpt_path = None
         self.metrics = None
         if isinstance(model, (list, tuple)):
-            # weight ensemble: average params of same-architecture checkpoints
-            # (reference attempt_load_weights/Ensemble, tasks.py:534,633-707 —
-            # the reference forwards all members and concatenates NMS inputs;
-            # parameter averaging is the jit-friendly equivalent for
-            # same-architecture members)
+            # model ensemble: every member forwards and decoded candidates are
+            # concatenated before NMS (reference attempt_load_weights/Ensemble,
+            # tasks.py:534-546 torch.cat(outputs, 1)) — output-level merging,
+            # valid for independently trained checkpoints
             self._load_ensemble([str(m) for m in model])
             return
         model = str(model)
@@ -63,7 +62,12 @@ class YOLO:
                                                       np.float32))
         section = "ema" if any(k.startswith("ema/") for k in flat) else "params"
         self.params = restore_tree(flat, section, example["params"])
-        self.batch_stats = restore_tree(flat, "batch_stats", example["batch_stats"])
+        # EMA-averaged batch_stats pair with EMA params (ModelEMA averages
+        # buffers too); fall back to raw stats for older checkpoints
+        bs_section = "ema_bs" if (section == "ema" and
+                                  any(k.startswith("ema_bs/") for k in flat)) \
+            else "batch_stats"
+        self.batch_stats = restore_tree(flat, bs_section, example["batch_stats"])
         # carry forward training args like the reference (model.py:129-133)
         for k in ("imgsz", "data", "single_cls"):
             if k in train_args:
@@ -73,16 +77,18 @@ class YOLO:
 
     def _load_ensemble(self, paths):
         self._load(paths[0])
+        self.members = [(self.params, self.batch_stats)]
         if len(paths) == 1:
             return
-        trees = [self.params]
         for p in paths[1:]:
             other = YOLO(p)
-            trees.append(other.params)
-        n = float(len(trees))
-        self.params = jax.tree_util.tree_map(
-            lambda *xs: sum(np.asarray(x, np.float32) for x in xs) / n, *trees)
-        LOGGER.info(f"ensembled {len(trees)} checkpoints (parameter average)")
+            assert other.model_yaml == self.model_yaml, (
+                "ensemble members must share one architecture yaml (the "
+                "reference allows mixed archs; here one compiled graph serves "
+                "all members)")
+            self.members.append((other.params, other.batch_stats))
+        LOGGER.info(f"ensembled {len(self.members)} checkpoints "
+                    "(output-level candidate merge before NMS)")
 
     # ------------------------------------------------------------------ modes
     def _ensure_params(self, imgsz=640):
@@ -117,19 +123,30 @@ class YOLO:
         return metrics
 
     def val(self, **kwargs):
-        from .validator import DetectionValidator
         overrides = {**self.overrides, **kwargs, "mode": "val"}
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
-        self._ensure_params(args.imgsz)
-        if hasattr(self.model, "names") and isinstance(self.model.names, dict):
-            pass
-        validator = DetectionValidator(args=args)
+        self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
+        task = getattr(self.model, "task", "detect")
+        # TASK_MAP dispatch (reference engine/model.py:17-26 routes every task
+        # to its own validator)
+        if task == "segment":
+            from .segment import SegmentationValidator
+            validator = SegmentationValidator(args=args)
+        elif task == "pose":
+            from .pose import PoseValidator, model_kpt_shape
+            validator = PoseValidator(args=args,
+                                      kpt_shape=model_kpt_shape(self.model))
+        elif task == "classify":
+            from .classify import ClassificationValidator
+            validator = ClassificationValidator(args=args)
+        else:
+            from .validator import DetectionValidator
+            validator = DetectionValidator(args=args)
         self.metrics = validator(model=self.model, params=self.params,
                                  batch_stats=self.batch_stats)
         return self.metrics
 
     def predict(self, source, stream=False, **kwargs):
-        from .predictor import DetectionPredictor
         overrides = {**self.overrides, **kwargs, "mode": "predict"}
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
@@ -137,10 +154,21 @@ class YOLO:
         save_dir = None
         if args.project:
             save_dir = str(Path(args.project) / (args.name or "predict"))
-        predictor = DetectionPredictor(args=args, model=self.model,
-                                       params=self.params,
-                                       batch_stats=self.batch_stats, names=names,
-                                       save_dir=save_dir)
+        task = getattr(self.model, "task", "detect")
+        # TASK_MAP dispatch (reference engine/model.py:17-26 routes every task
+        # to its own predictor)
+        if task == "segment":
+            from .segment import SegmentationPredictor as Pred
+        elif task == "pose":
+            from .pose import PosePredictor as Pred
+        elif task == "classify":
+            from .classify import ClassificationPredictor as Pred
+        else:
+            from .predictor import DetectionPredictor as Pred
+        predictor = Pred(args=args, model=self.model, params=self.params,
+                         batch_stats=self.batch_stats, names=names,
+                         save_dir=save_dir,
+                         members=getattr(self, "members", None))
         self.predictor = predictor
         return predictor(source, stream=stream)
 

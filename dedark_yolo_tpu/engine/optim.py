@@ -54,7 +54,15 @@ def opt_update(params, grads, state: OptState, labels, *, kind="sgd",
     """One optimizer call. Applies an update every `accumulate` calls.
 
     lr_bias / lr / momentum are traced scalars (pass fresh values per step).
-    Returns (new_params, new_state).
+    Returns (new_params, new_state, applied) — `applied` is a traced bool, True
+    on the calls where the accumulated update was actually applied (callers
+    gate EMA on it, reference trainer.py optimizer_step).
+
+    Accumulated grads are SUMMED, not averaged: the loss is pre-scaled by
+    batch_size (loss.sum()*bs, reference loss.py:193), so the summed gradient
+    over `accumulate` micro-batches is the gradient of an nbs-sized batch —
+    the reference never divides (trainer.py:340-345). Callers compensate
+    weight_decay by batch*accumulate/nbs (reference trainer.py:249).
     """
     acc = jax.tree_util.tree_map(lambda a, g: a + g, state.acc, grads)
     micro = state.micro + 1
@@ -62,7 +70,7 @@ def opt_update(params, grads, state: OptState, labels, *, kind="sgd",
 
     def apply_fn(operand):
         params, acc, buf, buf2, step = operand
-        g = jax.tree_util.tree_map(lambda a: a / accumulate, acc)
+        g = acc
         # global grad-norm clip at 10.0 (reference trainer.py:459-467)
         gnorm = jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                              for x in jax.tree_util.tree_leaves(g)))
@@ -107,4 +115,6 @@ def opt_update(params, grads, state: OptState, labels, *, kind="sgd",
         do_apply, apply_fn, noop_fn,
         (params, acc, state.buf, state.buf2, state.step))
     micro = jnp.where(do_apply, 0, micro)
-    return params, OptState(step=step, micro=micro, acc=acc, buf=buf, buf2=buf2)
+    return (params,
+            OptState(step=step, micro=micro, acc=acc, buf=buf, buf2=buf2),
+            do_apply)

@@ -1,12 +1,14 @@
 """Pose task triple: trainer + validator over the Pose head.
 
-Counterpart of the reference's models/yolo/pose/ task. Validation reports box
-mAP and pose mAP (OKS-based TP at the 10 standard thresholds, mirroring the
-reference PoseValidator's kpt_iou matching)."""
+Counterpart of the reference's models/yolo/pose/ task. The trainer is the full
+BaseTrainer loop (warmup ramps, param groups, accumulation, EMA-val,
+checkpoint/resume, EarlyStopping — the reference gives every task the same
+BaseTrainer, trainer.py:164-467) with pose loss/loader/validator plugged in.
+Validation reports box mAP and pose mAP (OKS-based TP at the 10 standard
+thresholds, mirroring the reference PoseValidator's kpt_iou matching)."""
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 
 import jax
@@ -14,15 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT
+from ..data.loader import DataLoader
 from ..data.pose import PoseDataset, collate_pose
 from ..losses.segment import pose_loss, OKS_SIGMA
 from ..nn.graph import DetectionModel
 from ..nn.heads import decode_detections, decode_keypoints
 from ..ops.nms import non_max_suppression
-from ..parallel import make_mesh, shard_batch, replicate
-from ..utils import (LOGGER, DetMetrics, ema_init, ema_update, save_checkpoint,
-                     match_predictions)
-from .optim import init_opt_state, opt_update, label_params
+from ..utils import LOGGER, DetMetrics, match_predictions
+from .predictor import DetectionPredictor
+from .trainer import BaseTrainer
 
 
 def kpt_oks(gt_kpts, pred_kpts, area, sigmas):
@@ -36,36 +38,49 @@ def kpt_oks(gt_kpts, pred_kpts, area, sigmas):
     return oks.sum(-1) / np.maximum(vis.sum(-1), 1)
 
 
-class PoseTrainer:
-    def __init__(self, overrides=None):
-        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
-        self.save_dir = Path(self.args.project or "runs/pose") / \
-            (self.args.name or "train")
-        self.wdir = self.save_dir / "weights"
+def model_kpt_shape(model):
+    """Extract (nk, dims) from the model's Pose head spec."""
+    args = model.head.get("args", ())
+    return tuple(args[1]) if len(args) > 1 else (17, 3)
 
-    def train(self):
-        a = self.args
-        from ..data import check_det_dataset
-        data = check_det_dataset(a.data)
-        model = DetectionModel(model_yaml_load(a.model or "yolov8-pose.yaml"),
-                               nc=data["nc"])
+
+class PoseTrainer(BaseTrainer):
+    task = "pose"
+    default_model = "yolov8-pose.yaml"
+    loss_names = ("box", "pose", "kobj", "cls", "dfl")
+    metric_keys = ("metrics/mAP50(B)", "metrics/mAP50-95(B)",
+                   "metrics/mAP50(P)", "metrics/mAP50-95(P)")
+
+    def get_model(self):
+        model = DetectionModel(
+            model_yaml_load(self.args.model or self.default_model),
+            nc=self.data["nc"])
         assert model.task == "pose", "model yaml lacks a Pose head"
-        self.model = model
-        kpt_shape = model.head.get("args", (None, (17, 3)))[1] \
-            if len(model.head.get("args", ())) > 1 else (17, 3)
-        kpt_shape = tuple(kpt_shape)
-        nk = kpt_shape[0]
-        ds = PoseDataset(data["train"], imgsz=a.imgsz, nc=data["nc"],
-                         kpt_shape=kpt_shape)
-        variables = model.init(jax.random.PRNGKey(a.seed), imgsz=a.imgsz)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-        labels = label_params(params)
-        opt_state = init_opt_state(params)
-        ema = ema_init(params)
-        emu = jnp.zeros((), jnp.int32)
-        mesh = make_mesh(devices=jax.devices()[:1])
+        self.kpt_shape = model_kpt_shape(model)
+        return model
+
+    def build_train_loader(self):
+        a = self.args
+        nk = self.kpt_shape[0]
+        ds = PoseDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"],
+                         kpt_shape=self.kpt_shape)
+        # fliplr stays off until keypoint flip_idx pairs are configurable
+        # (left/right keypoints must swap under a horizontal flip)
+        tf = (lambda dataset, i, rng:
+              dataset.load(i, fliplr_p=0.0, train=True, rng=rng))
+        return DataLoader(
+            ds, tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
+            workers=a.workers, process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            collate_fn=lambda items: collate_pose(items, max_boxes=a.max_boxes,
+                                                  nk=nk))
+
+    def make_loss_fn(self, model):
+        a = self.args
         hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "pose": a.pose,
                "kobj": a.kobj}
+        kpt_shape = self.kpt_shape
+        names = self.loss_names
 
         def loss_fn(p, bs, batch):
             img = batch["img"].astype(jnp.float32) / 255.0
@@ -75,65 +90,36 @@ class PoseTrainer:
                                      strides=model.strides, hyp=hyp,
                                      kpt_shape=kpt_shape,
                                      max_fg=min(a.max_boxes * 4, 128))
-            return total, (items, ns)
+            return total, (tuple(items[n] for n in names), ns)
 
-        def step(p, bs, os_, ema, emu, batch, lr):
-            (t, (items, ns)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, bs, batch)
-            p, os_ = opt_update(p, g, os_, labels, kind="sgd", lr_bias=lr, lr=lr,
-                                momentum=jnp.float32(a.momentum),
-                                weight_decay=a.weight_decay, accumulate=1)
-            ema, emu = ema_update(ema, p, emu)
-            return p, ns, os_, ema, emu, t
+        return loss_fn
 
-        jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
-        params = replicate(mesh, params)
-        batch_stats = replicate(mesh, batch_stats)
-        opt_state = replicate(mesh, opt_state)
-        ema = replicate(mesh, ema)
+    def get_validator(self):
+        return PoseValidator(
+            args=get_cfg(dict(vars(self.args)), {"conf": 0.001}),
+            save_dir=self.save_dir, data=self.data, kpt_shape=self.kpt_shape)
 
-        n = len(ds)
-        self.wdir.mkdir(parents=True, exist_ok=True)
-        for epoch in range(a.epochs):
-            order = list(range(n))
-            random.Random(a.seed + epoch).shuffle(order)
-            rng = random.Random(a.seed * 17 + epoch)
-            losses = []
-            for bi in range(max(n // a.batch, 1)):
-                idxs = order[bi * a.batch:(bi + 1) * a.batch] or order[:a.batch]
-                items = [ds.load(i, fliplr_p=0.0, train=True, rng=rng)
-                         for i in idxs]
-                batch = collate_pose(items, max_boxes=a.max_boxes, nk=nk)
-                batch = shard_batch(mesh, batch)
-                lr = jnp.float32(a.lr0 * max(1 - epoch / max(a.epochs, 1), 0.01))
-                out = jstep(params, batch_stats, opt_state, ema, emu, batch, lr)
-                params, batch_stats, opt_state, ema, emu = out[:5]
-                losses.append(out[5])
-            LOGGER.info(f"epoch {epoch + 1}/{a.epochs} "
-                        f"loss {float(jnp.mean(jnp.stack(losses))):.4f}")
-        save_checkpoint(self.wdir / "last.npz",
-                        params=jax.tree_util.tree_map(np.asarray, params),
-                        batch_stats=jax.tree_util.tree_map(np.asarray, batch_stats),
-                        ema_params=jax.tree_util.tree_map(np.asarray, ema),
-                        train_args=dict(vars(a)), model_yaml=model.yaml)
-        metrics = {}
-        if a.val:
-            validator = PoseValidator(args=a, save_dir=self.save_dir, data=data)
-            metrics = validator(model=model, params=ema, batch_stats=batch_stats,
-                                kpt_shape=kpt_shape)
-        self.metrics = metrics
-        return metrics
+    def dummy_batch(self, b):
+        a = self.args
+        nk = self.kpt_shape[0]
+        return {"img": jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
+                "bboxes": jnp.zeros((b, a.max_boxes, 4), jnp.float32),
+                "cls": jnp.zeros((b, a.max_boxes), jnp.float32),
+                "mask_gt": jnp.zeros((b, a.max_boxes), jnp.float32),
+                "keypoints": jnp.zeros((b, a.max_boxes, nk, 3), jnp.float32)}
 
 
 class PoseValidator:
-    def __init__(self, args=None, save_dir=None, data=None):
+    def __init__(self, args=None, save_dir=None, data=None, kpt_shape=(17, 3)):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
         self.save_dir = Path(save_dir or "runs/pose/val")
         self.data = data
+        self.kpt_shape = tuple(kpt_shape)
 
-    def __call__(self, model=None, params=None, batch_stats=None,
-                 kpt_shape=(17, 3)):
+    def __call__(self, model=None, params=None, batch_stats=None, mesh=None,
+                 kpt_shape=None):
         a = self.args
+        kpt_shape = tuple(kpt_shape) if kpt_shape else self.kpt_shape
         from ..data import check_det_dataset
         data = self.data or check_det_dataset(a.data)
         nk = kpt_shape[0]
@@ -150,31 +136,28 @@ class PoseValidator:
                 {"params": params, "batch_stats": batch_stats}, x, train=False)
             boxes, scores = decode_detections(det, model.nc, model.strides,
                                               model.reg_max)
-            dets, counts = non_max_suppression(
+            dets, counts, aidx = non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=float(a.iou),
-                max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True)
+                max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True,
+                return_idx=True)
             kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
-            return dets, counts, kpts
+            return dets, counts, aidx, kpts
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         kpt_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         iouv = np.linspace(0.5, 0.95, 10)
         n_images = 0
         bs = max(int(a.batch), 1)
-        from ..ops.anchors import make_anchors
         for start in range(0, len(ds), bs):
             idxs = list(range(start, min(start + bs, len(ds))))
             items = [ds.load(i) for i in idxs]
             while len(items) < bs:
                 items.append(items[0])
             batch = collate_pose(items, max_boxes=a.max_boxes, nk=nk)
-            dets, counts, kpts = jax.tree_util.tree_map(
+            dets, counts, aidx, kpts = jax.tree_util.tree_map(
                 np.asarray, val_step(params, batch_stats,
                                      jnp.asarray(batch["img"])))
             s = batch["img"].shape[1]
-            feat_shapes = [(s // st, s // st) for st in model.strides]
-            anchors, stride_t = make_anchors(feat_shapes, model.strides, 0.5)
-            anc = np.asarray(anchors) * np.asarray(stride_t)
             for i in range(len(idxs)):
                 n_images += 1
                 k = int(counts[i])
@@ -193,14 +176,10 @@ class PoseValidator:
                 box_stats["conf"].append(det[:, 4])
                 box_stats["pred_cls"].append(det[:, 5])
                 box_stats["target_cls"].append(gt_cls)
-                # per-detection keypoints: nearest anchor by center
+                # per-detection keypoints: exact anchor gather (NMS return_idx)
                 correct = np.zeros((k, 10), bool)
                 if k and len(gt_cls):
-                    cx = (det[:, 0] + det[:, 2]) / 2
-                    cy = (det[:, 1] + det[:, 3]) / 2
-                    d2 = ((anc[None, :, 0] - cx[:, None]) ** 2 +
-                          (anc[None, :, 1] - cy[:, None]) ** 2)
-                    pk = kpts[i][d2.argmin(1)]      # (k, nk, 3) pixels
+                    pk = kpts[i][aidx[i, :k]]       # (k, nk, 3) pixels
                     area = gt_xywh[:, 2] * gt_xywh[:, 3] * 0.53
                     oks = kpt_oks(gt_k, pk, area, sigmas)     # (n_gt, k)
                     oks = oks * (gt_cls[:, None] == det[None, :, 5])
@@ -220,6 +199,7 @@ class PoseValidator:
                 kpt_stats["target_cls"].append(gt_cls)
 
         results = {}
+        fitness = 0.0
         for name, stats in (("B", box_stats), ("P", kpt_stats)):
             dm = DetMetrics(save_dir=self.save_dir, plot=False,
                             names=data["names"])
@@ -232,6 +212,56 @@ class PoseValidator:
             mr = dm.mean_results()
             results[f"metrics/mAP50({name})"] = mr[2]
             results[f"metrics/mAP50-95({name})"] = mr[3]
+            # PoseMetrics.fitness = box fitness + pose fitness (reference)
+            fitness += 0.1 * mr[2] + 0.9 * mr[3]
+        results["fitness"] = fitness
         LOGGER.info(f"pose val: {n_images} images "
                     + " ".join(f"{k}={v:.3f}" for k, v in results.items()))
         return results
+
+
+class PosePredictor(DetectionPredictor):
+    """Streaming pose inference -> Results with Keypoints.
+
+    Counterpart of reference models/yolo/pose/predict.py: NMS, then the kept
+    detections' keypoints (exact anchor gather via NMS return_idx) are scaled
+    from the letterbox frame back to original image space (scale_coords)."""
+
+    def _make_step(self):
+        a = self.args
+        model = self.model
+        kpt_shape = model_kpt_shape(model)
+        conf, iou = float(a.conf), float(a.iou)
+        max_det, max_nms = int(a.max_det), int(a.max_nms)
+        dtype = jnp.bfloat16 if a.half else jnp.float32
+
+        def step(members, img_u8):
+            img = img_u8.astype(dtype) / 255.0
+            params, batch_stats = members[0]   # pose predict: single member
+            det, kpt_maps = model.module.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False)
+            boxes, scores = decode_detections(det, model.nc, model.strides,
+                                              model.reg_max)
+            dets, counts, aidx = non_max_suppression(
+                boxes.astype(jnp.float32), scores.astype(jnp.float32),
+                conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_nms=max_nms, multi_label=False,
+                agnostic=bool(a.agnostic_nms), return_idx=True)
+            kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
+            sel = jnp.take_along_axis(
+                kpts.astype(jnp.float32),
+                jnp.clip(aidx, 0)[..., None, None], axis=1)  # (B,max_det,nk,3)
+            return {"dets": dets, "counts": counts, "kpts": sel}
+
+        return jax.jit(step)
+
+    def extra_fields(self, out, i, k, orig_shape, imgsz):
+        kpts = np.asarray(out["kpts"][i][:k]).copy()
+        h0, w0 = orig_shape
+        r = min(imgsz / h0, imgsz / w0)
+        dw, dh = (imgsz - w0 * r) / 2, (imgsz - h0 * r) / 2
+        if k:
+            # letterbox-inverse like scale_boxes (reference ops.py scale_coords)
+            kpts[..., 0] = np.clip((kpts[..., 0] - dw) / r, 0, w0)
+            kpts[..., 1] = np.clip((kpts[..., 1] - dh) / r, 0, h0)
+        return {"keypoints": kpts}

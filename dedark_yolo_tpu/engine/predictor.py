@@ -76,13 +76,17 @@ def load_source(source, vid_stride=1):
 
 class DetectionPredictor:
     def __init__(self, args=None, model=None, params=None, batch_stats=None,
-                 names=None, save_dir=None):
+                 names=None, save_dir=None, members=None):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
         if self.args.conf is None:
             self.args.conf = 0.25  # predict default (reference model.py:213)
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
+        # ensemble: list of (params, batch_stats) trees for the same graph;
+        # every member forwards and candidates concat before NMS (reference
+        # Ensemble.forward, tasks.py:534-546 torch.cat(outputs, 1))
+        self.members = members or [(params, batch_stats)]
         self.names = names or (model.names if model else {})
         self.save_dir = Path(save_dir or "runs/detect/predict")
         self._step = None
@@ -96,22 +100,31 @@ class DetectionPredictor:
         want_enhanced = bool(a.save_enhanced)
         dtype = jnp.bfloat16 if a.half else jnp.float32
 
-        def step(params, batch_stats, img_u8):
+        def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
-            variables = {"params": params, "batch_stats": batch_stats}
-            if want_enhanced:
-                raw, state = model.module.apply(
-                    variables, img, train=False, mutable=["intermediates"],
-                    capture_intermediates=lambda mdl, name: "LowlightRecovery"
-                    in type(mdl).__name__)
-                inter = state["intermediates"]
-                enhanced = jax.tree_util.tree_leaves(inter)[0]
-            else:
-                raw = model.module.apply(variables, img, train=False)
-                enhanced = None
             from ..nn.heads import decode_detections
-            boxes, scores = decode_detections(raw, model.nc, model.strides,
-                                              model.reg_max)
+            enhanced = None
+            boxes_l, scores_l = [], []
+            # members is a tuple of (params, batch_stats) pairs — a static
+            # Python loop unrolled at trace time (one member in the common case)
+            for mi, (params, batch_stats) in enumerate(members):
+                variables = {"params": params, "batch_stats": batch_stats}
+                if want_enhanced and mi == 0:
+                    raw, state = model.module.apply(
+                        variables, img, train=False, mutable=["intermediates"],
+                        capture_intermediates=lambda mdl, name:
+                        "LowlightRecovery" in type(mdl).__name__)
+                    inter = state["intermediates"]
+                    enhanced = jax.tree_util.tree_leaves(inter)[0]
+                else:
+                    raw = model.module.apply(variables, img, train=False)
+                b, s = decode_detections(raw, model.nc, model.strides,
+                                         model.reg_max)
+                boxes_l.append(b)
+                scores_l.append(s)
+            # candidate-level merge across members (reference Ensemble cat dim 1)
+            boxes = jnp.concatenate(boxes_l, axis=1)
+            scores = jnp.concatenate(scores_l, axis=1)
             dets, counts = non_max_suppression(
                 boxes.astype(jnp.float32), scores.astype(jnp.float32),
                 conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=max_nms,
@@ -122,6 +135,10 @@ class DetectionPredictor:
             return out
 
         return jax.jit(step)
+
+    def extra_fields(self, out, i, k, orig_shape, imgsz):
+        """Task hook: per-image extra Results kwargs (masks/keypoints)."""
+        return {}
 
     def __call__(self, source, stream=False):
         gen = self.stream_inference(source)
@@ -156,7 +173,7 @@ class DetectionPredictor:
                 while len(buf_imgs) < batch_size:
                     buf_imgs.append(np.zeros_like(buf_imgs[0]))
                 arr = np.stack(buf_imgs)
-            out = self._step(self.params, self.batch_stats, jnp.asarray(arr))
+            out = self._step(tuple(self.members), jnp.asarray(arr))
             dets = np.asarray(out["dets"])
             counts = np.asarray(out["counts"])
             enhanced = (np.asarray(out["enhanced"]) if "enhanced" in out else None)
@@ -173,7 +190,8 @@ class DetectionPredictor:
                     orig_img=np.ascontiguousarray(orig[..., ::-1]),
                     path=buf_paths[i], names=self.names, boxes=det,
                     speed={"inference": t_inf},
-                    enhanced_img=(enhanced[i] if enhanced is not None else None))
+                    enhanced_img=(enhanced[i] if enhanced is not None else None),
+                    **self.extra_fields(out, i, k, orig.shape[:2], imgsz))
                 if a.save or a.save_txt or a.save_enhanced:
                     self._write(res, buf_meta[i])
                 yield res

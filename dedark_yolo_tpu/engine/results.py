@@ -53,13 +53,19 @@ class Boxes:
 
 class Results:
     def __init__(self, orig_img, path, names, boxes=None, speed=None,
-                 enhanced_img=None):
+                 enhanced_img=None, masks=None, keypoints=None, probs=None):
+        from .results_extra import Masks, Keypoints, Probs
         self.orig_img = orig_img            # RGB uint8
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)),
                            self.orig_shape)
+        self.masks = (Masks(masks, self.orig_shape)
+                      if masks is not None else None)
+        self.keypoints = (Keypoints(keypoints, self.orig_shape)
+                          if keypoints is not None else None)
+        self.probs = Probs(probs, names) if probs is not None else None
         self.speed = speed or {}
         self.enhanced_img = enhanced_img    # optional lowlight_recovery output
 
@@ -68,8 +74,28 @@ class Results:
 
     def plot(self, line_width=None):
         from ..utils.plotting import annotate_image
-        return annotate_image(self.orig_img, self.boxes.data, self.names,
-                              line_width)
+        img = annotate_image(self.orig_img, self.boxes.data, self.names,
+                             line_width)
+        if self.masks is not None and len(self.masks):
+            import cv2
+            h, w = self.orig_shape
+            overlay = img.copy()
+            for j, m in enumerate(self.masks.data):
+                mm = m.astype(np.uint8)
+                if mm.shape != (h, w):
+                    mm = cv2.resize(mm, (w, h), interpolation=cv2.INTER_NEAREST)
+                color = np.asarray([(37 * (j + 1)) % 255, (17 * (j + 7)) % 255,
+                                    (29 * (j + 3)) % 255], np.uint8)
+                overlay[mm > 0] = color
+            img = cv2.addWeighted(img, 0.6, overlay, 0.4, 0)
+        if self.keypoints is not None and len(self.keypoints):
+            import cv2
+            img = np.ascontiguousarray(img)
+            for inst in self.keypoints.data:
+                for x, y, *v in inst:
+                    if not v or v[0] > 0.25:
+                        cv2.circle(img, (int(x), int(y)), 3, (0, 255, 0), -1)
+        return img
 
     def save(self, filename):
         import cv2

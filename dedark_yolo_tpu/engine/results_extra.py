@@ -36,6 +36,30 @@ class Masks:
         return out
 
 
+class Probs:
+    """(nc,) classification probabilities (reference results.py:569)."""
+
+    def __init__(self, data: np.ndarray, names=None):
+        self.data = np.asarray(data).reshape(-1)
+        self.names = names or {}
+
+    @property
+    def top1(self):
+        return int(np.argmax(self.data))
+
+    @property
+    def top1conf(self):
+        return float(self.data[self.top1])
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5]
+
+
 class Keypoints:
     """(n, nk, 3) keypoints [x, y, visibility] in original-image pixels."""
 

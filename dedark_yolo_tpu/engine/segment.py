@@ -1,14 +1,16 @@
 """Segmentation task triple: trainer + validator over the Segment head.
 
 Counterpart of the reference's models/yolo/segment/ task (SegmentationTrainer/
-Validator). Training is one jitted step (forward -> detection+mask loss ->
-SGD -> EMA); validation computes BOTH box mAP and mask mAP (mask IoU at 10
-thresholds on proto-resolution masks, mirroring detect/val matching).
+Validator). The trainer is the full BaseTrainer loop (warmup ramps, 3 param
+groups, grad accumulation, EMA-val, checkpoint/resume, EarlyStopping — the
+reference gives every task the same BaseTrainer, trainer.py:164-467) with the
+segment loss/loader/validator plugged in; validation computes BOTH box mAP and
+mask mAP (mask IoU at 10 thresholds on proto-resolution masks, mirroring
+detect/val matching).
 """
 
 from __future__ import annotations
 
-import random
 from pathlib import Path
 
 import jax
@@ -16,42 +18,47 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT
+from ..data.loader import DataLoader
 from ..data.segment import SegmentDataset, collate_segment
 from ..losses.segment import segmentation_loss
 from ..nn.graph import DetectionModel
 from ..nn.heads import decode_detections
 from ..ops.nms import non_max_suppression
-from ..parallel import make_mesh, shard_batch, replicate
-from ..utils import (LOGGER, DetMetrics, ema_init, ema_update, save_checkpoint,
-                     match_predictions)
-from .optim import init_opt_state, opt_update, label_params
+from ..utils import LOGGER, DetMetrics, match_predictions
+from .predictor import DetectionPredictor
+from .trainer import BaseTrainer
 
 
-class SegmentationTrainer:
-    def __init__(self, overrides=None):
-        self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
-        self.save_dir = Path(self.args.project or "runs/segment") / \
-            (self.args.name or "train")
-        self.wdir = self.save_dir / "weights"
+class SegmentationTrainer(BaseTrainer):
+    task = "segment"
+    default_model = "yolov8-seg.yaml"
+    loss_names = ("box", "seg", "cls", "dfl")
+    metric_keys = ("metrics/mAP50(B)", "metrics/mAP50-95(B)",
+                   "metrics/mAP50(M)", "metrics/mAP50-95(M)")
 
-    def train(self):
-        a = self.args
-        from ..data import check_det_dataset
-        data = check_det_dataset(a.data)
-        ds = SegmentDataset(data["train"], imgsz=a.imgsz, nc=data["nc"])
-        model = DetectionModel(model_yaml_load(a.model or "yolov8-seg.yaml"),
-                               nc=data["nc"])
+    def get_model(self):
+        model = DetectionModel(
+            model_yaml_load(self.args.model or self.default_model),
+            nc=self.data["nc"])
         assert model.task == "segment", "model yaml lacks a Segment head"
-        self.model = model
-        variables = model.init(jax.random.PRNGKey(a.seed), imgsz=a.imgsz)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-        labels = label_params(params)
-        opt_state = init_opt_state(params)
-        ema = ema_init(params)
-        emu = jnp.zeros((), jnp.int32)
-        mesh = make_mesh(devices=jax.devices()[:1]) if a.batch % len(jax.devices()) \
-            else make_mesh()
+        return model
+
+    def build_train_loader(self):
+        a = self.args
+        ds = SegmentDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"])
+        tf = (lambda dataset, i, rng:
+              dataset.load(i, fliplr_p=a.fliplr, train=True, rng=rng))
+        return DataLoader(
+            ds, tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
+            workers=a.workers, process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            collate_fn=lambda items: collate_segment(
+                items, max_boxes=a.max_boxes, mask_ratio=a.mask_ratio))
+
+    def make_loss_fn(self, model):
+        a = self.args
         hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl}
+        names = self.loss_names
 
         def loss_fn(p, bs, batch):
             img = batch["img"].astype(jnp.float32) / 255.0
@@ -61,55 +68,23 @@ class SegmentationTrainer:
                 det, coefs, protos, batch, nc=model.nc, strides=model.strides,
                 hyp=hyp, max_fg=min(a.max_boxes * 4, 128),
                 overlap=bool(a.overlap_mask))
-            return total, (items, ns)
+            return total, (tuple(items[n] for n in names), ns)
 
-        def step(p, bs, os_, ema, emu, batch, lr):
-            (t, (items, ns)), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, bs, batch)
-            p, os_ = opt_update(p, g, os_, labels, kind="sgd", lr_bias=lr, lr=lr,
-                                momentum=jnp.float32(a.momentum),
-                                weight_decay=a.weight_decay, accumulate=1)
-            ema, emu = ema_update(ema, p, emu)
-            return p, ns, os_, ema, emu, t, items
+        return loss_fn
 
-        jstep = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
-        params = replicate(mesh, params)
-        batch_stats = replicate(mesh, batch_stats)
-        opt_state = replicate(mesh, opt_state)
-        ema = replicate(mesh, ema)
+    def get_validator(self):
+        return SegmentationValidator(
+            args=get_cfg(dict(vars(self.args)), {"conf": 0.001}),
+            save_dir=self.save_dir, data=self.data)
 
-        n = len(ds)
-        self.wdir.mkdir(parents=True, exist_ok=True)
-        metrics = {}
-        for epoch in range(a.epochs):
-            order = list(range(n))
-            random.Random(a.seed + epoch).shuffle(order)
-            rng = random.Random(a.seed * 13 + epoch)
-            losses = []
-            for bi in range(max(n // a.batch, 1)):
-                idxs = order[bi * a.batch:(bi + 1) * a.batch] or order[:a.batch]
-                items = [ds.load(i, fliplr_p=a.fliplr, train=True, rng=rng)
-                         for i in idxs]
-                batch = collate_segment(items, max_boxes=a.max_boxes,
-                                        mask_ratio=a.mask_ratio)
-                batch = shard_batch(mesh, batch)
-                lr = jnp.float32(a.lr0 * max(1 - epoch / max(a.epochs, 1), 0.01))
-                out = jstep(params, batch_stats, opt_state, ema, emu, batch, lr)
-                params, batch_stats, opt_state, ema, emu = out[:5]
-                losses.append(out[5])
-            mean_loss = float(jnp.mean(jnp.stack(losses)))
-            LOGGER.info(f"epoch {epoch + 1}/{a.epochs} loss {mean_loss:.4f}")
-        save_checkpoint(self.wdir / "last.npz",
-                        params=jax.tree_util.tree_map(np.asarray, params),
-                        batch_stats=jax.tree_util.tree_map(np.asarray, batch_stats),
-                        ema_params=jax.tree_util.tree_map(np.asarray, ema),
-                        train_args=dict(vars(a)), model_yaml=model.yaml)
-        if a.val:
-            validator = SegmentationValidator(args=a, save_dir=self.save_dir,
-                                              data=data)
-            metrics = validator(model=model, params=ema, batch_stats=batch_stats)
-        self.metrics = metrics
-        return metrics
+    def dummy_batch(self, b):
+        a = self.args
+        mh = a.imgsz // a.mask_ratio
+        return {"img": jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
+                "bboxes": jnp.zeros((b, a.max_boxes, 4), jnp.float32),
+                "cls": jnp.zeros((b, a.max_boxes), jnp.float32),
+                "mask_gt": jnp.zeros((b, a.max_boxes), jnp.float32),
+                "masks": jnp.zeros((b, mh, mh), jnp.float32)}
 
 
 class SegmentationValidator:
@@ -120,7 +95,7 @@ class SegmentationValidator:
         self.save_dir = Path(save_dir or "runs/segment/val")
         self.data = data
 
-    def __call__(self, model=None, params=None, batch_stats=None):
+    def __call__(self, model=None, params=None, batch_stats=None, mesh=None):
         a = self.args
         from ..data import check_det_dataset
         data = self.data or check_det_dataset(a.data)
@@ -134,13 +109,14 @@ class SegmentationValidator:
                 {"params": params, "batch_stats": batch_stats}, x, train=False)
             boxes, scores = decode_detections(det, model.nc, model.strides,
                                               model.reg_max)
-            dets, counts = non_max_suppression(
+            dets, counts, aidx = non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=float(a.iou),
-                max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True)
+                max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True,
+                return_idx=True)
             nm = protos.shape[-1]
             coef_flat = jnp.concatenate(
                 [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
-            return dets, counts, coef_flat, protos
+            return dets, counts, aidx, coef_flat, protos
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         mask_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -153,7 +129,7 @@ class SegmentationValidator:
                 items.append(items[0])
             batch = collate_segment(items, max_boxes=a.max_boxes,
                                     mask_ratio=a.mask_ratio)
-            dets, counts, coef_flat, protos = jax.tree_util.tree_map(
+            dets, counts, aidx, coef_flat, protos = jax.tree_util.tree_map(
                 np.asarray, val_step(params, batch_stats,
                                      jnp.asarray(batch["img"])))
             s = batch["img"].shape[1]
@@ -175,18 +151,18 @@ class SegmentationValidator:
                 box_stats["conf"].append(det[:, 4])
                 box_stats["pred_cls"].append(det[:, 5])
                 box_stats["target_cls"].append(gt_cls)
-                # mask TP: nearest-anchor coefficient lookup is not stored by the
-                # NMS output; recompute pred masks from the best-matching anchor
-                # per detection via box centers (approximation documented)
-                tp_mask = self._mask_tp(det, coef_flat[i], protos[i],
-                                        batch["masks"][i], gt_cls, s, mh, mw,
-                                        model)
+                # mask TP: exact per-detection coefficient lookup via the
+                # anchor indices NMS carries through (return_idx)
+                tp_mask = self._mask_tp(det, aidx[i, :k], coef_flat[i],
+                                        protos[i], batch["masks"][i], gt_cls,
+                                        s, mh, mw)
                 mask_stats["tp"].append(tp_mask)
                 mask_stats["conf"].append(det[:, 4])
                 mask_stats["pred_cls"].append(det[:, 5])
                 mask_stats["target_cls"].append(gt_cls)
 
         results = {}
+        fitness = 0.0
         for name, stats in (("box", box_stats), ("mask", mask_stats)):
             if not stats["tp"]:
                 continue
@@ -201,28 +177,23 @@ class SegmentationValidator:
             mr = dm.mean_results()
             results[f"metrics/mAP50({name[0].upper()})"] = mr[2]
             results[f"metrics/mAP50-95({name[0].upper()})"] = mr[3]
+            # SegmentMetrics.fitness = box fitness + mask fitness (reference
+            # metrics.py: fitness = 0.1*mAP50 + 0.9*mAP, summed over both)
+            fitness += 0.1 * mr[2] + 0.9 * mr[3]
+        results["fitness"] = fitness
         LOGGER.info(f"segment val: {n_images} images "
                     + " ".join(f"{k}={v:.3f}" for k, v in results.items()))
         return results
 
-    def _mask_tp(self, det, coefs, proto, gt_masks_overlap, gt_cls, s, mh, mw,
-                 model, iouv=np.linspace(0.5, 0.95, 10)):
-        """Mask-IoU TP matrix for one image's detections."""
-        from ..ops.anchors import make_anchors
+    def _mask_tp(self, det, a_idx, coefs, proto, gt_masks_overlap, gt_cls, s,
+                 mh, mw, iouv=np.linspace(0.5, 0.95, 10)):
+        """Mask-IoU TP matrix for one image's detections (a_idx = the exact
+        anchor index per detection, from NMS return_idx)."""
         n = len(det)
         correct = np.zeros((n, len(iouv)), bool)
         n_gt = len(gt_cls)
         if n == 0 or n_gt == 0:
             return correct
-        # map each detection to the nearest anchor by center (the NMS output
-        # does not carry anchor indices; centers coincide for the argmax anchor)
-        feat_shapes = [(s // st, s // st) for st in model.strides]
-        anchors, stride_t = make_anchors(feat_shapes, model.strides, 0.5)
-        anc = np.asarray(anchors) * np.asarray(stride_t)
-        cx = (det[:, 0] + det[:, 2]) / 2
-        cy = (det[:, 1] + det[:, 3]) / 2
-        d2 = (anc[None, :, 0] - cx[:, None]) ** 2 + (anc[None, :, 1] - cy[:, None]) ** 2
-        a_idx = d2.argmin(1)
         pm = 1 / (1 + np.exp(-(coefs[a_idx] @ proto.reshape(-1, proto.shape[-1]).T)))
         pm = pm.reshape(n, mh, mw) > 0.5
         # crop to det box in mask space
@@ -245,3 +216,73 @@ class SegmentationValidator:
                 matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
                 correct[matches[:, 0].astype(int), t_i] = True
         return correct
+
+
+class SegmentationPredictor(DetectionPredictor):
+    """Streaming segment inference -> Results with Masks.
+
+    Counterpart of reference models/yolo/segment/predict.py:10-40: NMS keeps
+    per-detection mask coefficients (here via the NMS anchor-index output),
+    masks = sigmoid(coef @ protos) cropped to boxes (ops.process_mask), then
+    letterbox-pad is removed and masks upsample to original image resolution.
+    """
+
+    def _make_step(self):
+        a = self.args
+        model = self.model
+        conf, iou = float(a.conf), float(a.iou)
+        max_det, max_nms = int(a.max_det), int(a.max_nms)
+        dtype = jnp.bfloat16 if a.half else jnp.float32
+
+        def step(members, img_u8):
+            img = img_u8.astype(dtype) / 255.0
+            params, batch_stats = members[0]   # seg predict: single member
+            det, coefs, protos = model.module.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False)
+            boxes, scores = decode_detections(det, model.nc, model.strides,
+                                              model.reg_max)
+            dets, counts, aidx = non_max_suppression(
+                boxes.astype(jnp.float32), scores.astype(jnp.float32),
+                conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_nms=max_nms, multi_label=False,
+                agnostic=bool(a.agnostic_nms), return_idx=True)
+            nm = protos.shape[-1]
+            coef_flat = jnp.concatenate(
+                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+            sel = jnp.take_along_axis(
+                coef_flat, jnp.clip(aidx, 0)[..., None], axis=1)  # (B,max_det,nm)
+            # mask logits in proto space, cropped to each detection's box
+            # (reference ops.process_mask crop_mask, ops.py:595-615)
+            logits = jnp.einsum("bdn,bhwn->bdhw",
+                                sel.astype(jnp.float32),
+                                protos.astype(jnp.float32))
+            mh, mw = protos.shape[1], protos.shape[2]
+            scale = mh / img.shape[1]
+            bx = dets[..., :4] * scale                             # (B,max_det,4)
+            ys = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
+            xs = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
+            inbox = ((xs >= bx[..., 0, None, None]) &
+                     (xs < bx[..., 2, None, None]) &
+                     (ys >= bx[..., 1, None, None]) &
+                     (ys < bx[..., 3, None, None]))
+            masks = (jax.nn.sigmoid(logits) > 0.5) & inbox
+            return {"dets": dets, "counts": counts, "masks": masks}
+
+        return jax.jit(step)
+
+    def extra_fields(self, out, i, k, orig_shape, imgsz):
+        import cv2
+        masks = np.asarray(out["masks"][i][:k])
+        h0, w0 = orig_shape
+        r = min(imgsz / h0, imgsz / w0)
+        dw, dh = (imgsz - w0 * r) / 2, (imgsz - h0 * r) / 2
+        mh, mw = masks.shape[-2:] if k else (1, 1)
+        sx, sy = mw / imgsz, mh / imgsz
+        px, py = int(round(dw * sx)), int(round(dh * sy))
+        up = []
+        for m in masks:
+            crop = m[py:mh - py or None, px:mw - px or None].astype(np.uint8)
+            up.append(cv2.resize(crop, (w0, h0),
+                                 interpolation=cv2.INTER_NEAREST) > 0)
+        return {"masks": (np.stack(up) if up
+                          else np.zeros((0, h0, w0), bool))}

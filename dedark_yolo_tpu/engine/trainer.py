@@ -1,4 +1,4 @@
-"""DetectionTrainer: the full training loop as ONE jitted XLA step.
+"""BaseTrainer + DetectionTrainer: the full training loop as ONE jitted XLA step.
 
 Counterpart of the reference BaseTrainer/DetectionTrainer
 (ultralytics/engine/trainer.py:164-467, models/yolo/detect/train.py:42-111), with
@@ -10,13 +10,19 @@ the eager-PyTorch artifacts redesigned for TPU:
   - DDP re-exec/NCCL (trainer.py:174-201) is replaced by a jax.sharding Mesh:
     params replicated, batch sharded over 'data', XLA inserts the grad all-reduce;
   - AMP GradScaler is unnecessary (bf16 on TPU needs no loss scaling);
-  - grad accumulation to nbs=64 (trainer.py:340-345) via optax.MultiSteps;
-  - 3 param groups (bias / norm / weights with decay, trainer.py:611-665) via
-    optax.multi_transform, with per-step warmup of lr, bias-lr, and momentum
-    matching trainer.py:317-327's np.interp ramps.
+  - grad accumulation to nbs=64 (trainer.py:340-345) sums micro-batch grads on
+    device and applies every k-th call, with weight_decay scaled by
+    batch*accumulate/nbs (trainer.py:249);
+  - 3 param groups (bias / norm / weights with decay, trainer.py:611-665) with
+    per-step warmup of lr, bias-lr, and momentum matching trainer.py:317-327's
+    np.interp ramps.
 
-Checkpointing, CSV metrics, EarlyStopping, EMA-val and best/last fitness ckpts
-mirror trainer.py:366-433 and torch_utils.py:344-377,478-518.
+Like the reference, EVERY task (detect/segment/pose/classify) trains through
+this one loop — subclasses plug in their model, loader, loss and validator via
+the task hooks. EMA tracks params AND batch_stats (the reference ModelEMA
+averages buffers too, torch_utils.py:344-377) and advances only on applied
+optimizer steps. Checkpointing, CSV metrics, EarlyStopping, EMA-val and
+best/last fitness ckpts mirror trainer.py:366-433 and torch_utils.py:478-518.
 """
 
 from __future__ import annotations
@@ -58,7 +64,15 @@ class EarlyStopping:
         return (epoch - self.best_epoch) >= self.patience
 
 
-class DetectionTrainer:
+class BaseTrainer:
+    """Task-agnostic training loop; subclasses provide the task hooks below."""
+
+    task = "detect"
+    default_model = "yolov8l.yaml"
+    loss_names = ("box", "cls", "dfl")
+    metric_keys = ("metrics/precision(B)", "metrics/recall(B)",
+                   "metrics/mAP50(B)", "metrics/mAP50-95(B)")
+
     def __init__(self, overrides=None, _callbacks=None):
         self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
         from ..utils.callbacks import get_default_callbacks
@@ -75,10 +89,10 @@ class DetectionTrainer:
         self.best_fitness = 0.0
         self.epoch = 0
         self.metrics = {}
-        self.data = check_det_dataset(self.args.data) if self.args.data else None
+        self.data = self.check_data(self.args.data) if self.args.data else None
 
     def _get_save_dir(self):
-        project = Path(self.args.project or "runs/detect")
+        project = Path(self.args.project or f"runs/{self.task}")
         name = self.args.name or "train"
         d = project / name
         if d.exists() and not self.args.exist_ok and not self.args.resume:
@@ -88,12 +102,44 @@ class DetectionTrainer:
                     break
         return d
 
-    # ------------------------------------------------------------------ setup
+    # ----------------------------------------------------------- task hooks
+    def check_data(self, path):
+        return check_det_dataset(path)
+
+    def preflight(self):
+        """Arg fixups before setup (stride-aware imgsz for dense tasks)."""
+        from ..utils.checks import check_imgsz
+        self.args.imgsz = check_imgsz(self.args.imgsz, stride=32)
+
     def get_model(self):
-        yaml_path = self.args.model or "yolov8l.yaml"
+        yaml_path = self.args.model or self.default_model
         d = model_yaml_load(yaml_path)
         return DetectionModel(d, nc=self.data["nc"])
 
+    def build_train_loader(self):
+        """Return a loader: len(), set_epoch(e), iter -> fixed-shape batch."""
+        raise NotImplementedError
+
+    def make_loss_fn(self, model):
+        """Return loss_fn(params, batch_stats, batch) ->
+        (total, (items_tuple, new_batch_stats)) with items matching loss_names."""
+        raise NotImplementedError
+
+    def get_validator(self):
+        """Return a validator callable(model=, params=, batch_stats=, mesh=)."""
+        raise NotImplementedError
+
+    def dummy_batch(self, b):
+        """Synthetic fixed-shape batch of global size b (autobatch probing)."""
+        raise NotImplementedError
+
+    def close_augment(self):
+        """Hook fired at epochs-close_mosaic (reference close_mosaic)."""
+
+    def model_init_batch(self):
+        return 1
+
+    # ---------------------------------------------------------------- setup
     def build_optimizer(self, nb):
         """Optimizer choice + LR/momentum schedules.
 
@@ -136,9 +182,306 @@ class DetectionTrainer:
         self._lr_at, self._momentum_at = lr_at, momentum_at
         # grad accumulation to nominal batch size 64 (trainer.py:253-255)
         self.accumulate = max(round(a.nbs / a.batch), 1)
+        # decay compensates for the summed-grad accumulation semantics
+        # (reference trainer.py:249)
+        self.weight_decay = float(a.weight_decay) * a.batch * self.accumulate / a.nbs
 
     # -------------------------------------------------------------- train step
     def make_train_step(self, model, labels):
+        loss_fn = self.make_loss_fn(model)
+        accumulate = self.accumulate
+        wd = self.weight_decay
+        kind = self.opt_name
+
+        def train_step(params, batch_stats, opt_state, ema, ema_updates,
+                       batch, lr_bias, lr, momentum):
+            (total, (items, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch)
+            params, opt_state, applied = opt_update(
+                params, grads, opt_state, labels, kind=kind, lr_bias=lr_bias,
+                lr=lr, momentum=momentum, weight_decay=wd, accumulate=accumulate)
+            # EMA advances only on applied optimizer steps (reference calls
+            # ema.update inside optimizer_step) and averages batch_stats too
+            # (ModelEMA averages all floating buffers, torch_utils.py:360-366)
+            cur = {"params": params, "batch_stats": new_stats}
+            ema, ema_updates = jax.lax.cond(
+                applied,
+                lambda t: ema_update(t[0], cur, t[1]),
+                lambda t: t,
+                (ema, ema_updates))
+            return params, new_stats, opt_state, ema, ema_updates, total, items
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+    # -------------------------------------------------------------------- train
+    def train(self):
+        a = self.args
+        assert self.data, "data yaml required for training"
+        self.preflight()
+        # multi-host: initialize the jax distributed runtime when launched with
+        # coordinator env vars (replaces the reference's torch.distributed.run
+        # re-exec, dist.py:26-61 — on TPU the launcher IS the runtime)
+        import os as _os
+        if (_os.environ.get("JAX_COORDINATOR_ADDRESS")
+                and jax.process_count() == 1
+                and not getattr(jax.distributed, "_initialized", False)):
+            try:
+                jax.distributed.initialize()
+            except Exception as e:
+                LOGGER.info(f"jax.distributed.initialize failed: {e}")
+        self.run_callbacks("on_pretrain_routine_start")
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        yaml_save(self.save_dir / "args.yaml", dict(vars(a)))
+
+        # model + state (before mesh/loaders so autobatch can measure the step)
+        model = self.get_model()
+        self.model = model
+        rng = jax.random.PRNGKey(a.seed)
+        variables = model.init(rng, imgsz=a.imgsz, batch=self.model_init_batch())
+        params, batch_stats = variables["params"], variables["batch_stats"]
+
+        if a.batch < 0:
+            a.batch = self._autobatch(model, params, batch_stats)
+
+        if a.mesh_shape:
+            mesh = make_mesh(shape=tuple(a.mesh_shape),
+                             axes=tuple(a.mesh_axes or ("data",)))
+        else:
+            # use the largest device count that divides the global batch
+            devs = jax.devices()
+            n = len(devs)
+            while n > 1 and a.batch % n != 0:
+                n -= 1
+            mesh = make_mesh(devices=devs[:n])
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        if a.batch % n_dev != 0:
+            raise ValueError(f"batch {a.batch} must divide evenly over {n_dev} devices")
+        LOGGER.info(f"mesh: {n_dev} device(s) on axis 'data'; global batch {a.batch}")
+
+        train_dl = self.build_train_loader()
+        nb = len(train_dl)
+        assert nb > 0, "empty train loader (batch too large for dataset?)"
+
+        self.build_optimizer(nb)
+        labels = label_params(params)
+        opt_state = init_opt_state(params)
+        ema = {"params": ema_init(params), "batch_stats": ema_init(batch_stats)}
+        ema_updates = jnp.zeros((), jnp.int32)
+
+        start_epoch = 0
+        if a.resume:
+            start_epoch, params, batch_stats, ema, ema_updates, opt_state = \
+                self._resume(params, batch_stats, ema, ema_updates, opt_state)
+
+        # replicate state over mesh
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+        opt_state = replicate(mesh, opt_state)
+        ema = replicate(mesh, ema)
+
+        train_step = self.make_train_step(model, labels)
+        stopper = EarlyStopping(a.patience)
+        stopper.best_fitness = self.best_fitness
+        n_params = model.num_params({"params": params})
+        LOGGER.info(f"{self.opt_name} optimizer, lr0={self.lr0}, "
+                    f"accumulate={self.accumulate}, params={n_params:,}")
+        self.run_callbacks("on_train_start")
+
+        t_train = time.time()
+        # resumed runs continue the decayed LR curve and skip warmup
+        # (reference restores scheduler.last_epoch on resume)
+        step = start_epoch * nb
+        stop = False
+        for epoch in range(start_epoch, a.epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
+            train_dl.set_epoch(epoch)
+            # close_mosaic (reference trainer.py close_mosaic / dataset.py:152-157)
+            if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
+                self.close_augment()
+            t0 = time.time()
+            items_log = []  # device arrays; synced once per epoch so the host
+            # loop never blocks on the step (async dispatch overlaps data prep)
+            for bi, batch in enumerate(train_dl):
+                self.run_callbacks("on_train_batch_start")
+                if a.plots and epoch == start_epoch and bi < 3 \
+                        and jax.process_index() == 0:
+                    # train-batch mosaics (reference plot_images, plotting.py:312)
+                    try:
+                        from ..utils.plotting import plot_images
+                        plot_images(batch, self.save_dir / f"train_batch{bi}.jpg",
+                                    names=self.data.get("names"))
+                    except Exception:
+                        pass
+                if a.profile and epoch == start_epoch and bi == 2 \
+                        and jax.process_index() == 0:
+                    # one traced step after warmup (reference profiles per layer
+                    # with thop, tasks.py:129-151; on TPU the unit is the XLA
+                    # trace, viewable in TensorBoard/xprof)
+                    jax.profiler.start_trace(str(self.save_dir / "profile"))
+                dev_batch = shard_batch(mesh, batch)
+                (params, batch_stats, opt_state, ema, ema_updates,
+                 total, items) = train_step(
+                    params, batch_stats, opt_state, ema, ema_updates,
+                    dev_batch, jnp.float32(self._lr_at(step, "bias")),
+                    jnp.float32(self._lr_at(step, "weight")),
+                    jnp.float32(self._momentum_at(step)))
+                items_log.append(items)
+                if a.profile and epoch == start_epoch and bi == 2 \
+                        and jax.process_index() == 0:
+                    jax.block_until_ready(total)
+                    jax.profiler.stop_trace()
+                step += 1
+                self.run_callbacks("on_train_batch_end")
+            mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
+                                                  for it in items_log])), axis=0)
+            epoch_time = time.time() - t0
+            lr_now = self._lr_at(step, "weight")
+
+            # per-epoch validation with EMA params+stats, fp32 (validator.py:102-111)
+            fitness = 0.0
+            metrics = {}
+            if a.val and jax.process_index() == 0:
+                if not hasattr(self, "_validator"):
+                    # construct ONCE: the jitted val step is cached on the
+                    # validator, so per-epoch val reuses one compiled graph
+                    self._validator = self.get_validator()
+                metrics = self._validator(model=model, params=ema["params"],
+                                          batch_stats=ema["batch_stats"],
+                                          mesh=mesh)
+                fitness = metrics.get("fitness", 0.0)
+            self.metrics = metrics
+
+            loss_str = " ".join(f"{n} {v:.4f}"
+                                for n, v in zip(self.loss_names, mloss))
+            LOGGER.info(
+                f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
+                f"fitness {fitness:.4f} ({epoch_time:.1f}s)")
+            self._save_csv(epoch, mloss, metrics, lr_now)
+
+            improved = fitness >= self.best_fitness
+            if improved:
+                self.best_fitness = fitness
+            if a.save and jax.process_index() == 0:
+                self._save_ckpt(params, batch_stats, ema, ema_updates,
+                                opt_state, epoch, improved)
+            self.run_callbacks("on_fit_epoch_end")
+            if stopper(epoch, fitness):
+                LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
+                            f"(no improvement for {a.patience} epochs)")
+                stop = True
+            if stop:
+                break
+
+        LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
+                    f"results in {self.save_dir}")
+        if a.plots:
+            try:
+                from ..utils.plotting import plot_results
+                plot_results(self.csv)
+            except Exception as e:  # plotting must never kill a run
+                LOGGER.info(f"plot_results failed: {e}")
+        self.run_callbacks("on_train_end")
+        return self.metrics
+
+    def _autobatch(self, model, params, batch_stats):
+        """Fit the global batch to device memory via XLA memory analysis
+        (reference autobatch.py:32 fits to 67% of CUDA memory)."""
+        from ..utils.autobatch import autobatch as _ab
+        loss_fn = self.make_loss_fn(model)
+
+        def meas(params, bs, batch):
+            return jax.grad(lambda p: loss_fn(p, bs, batch)[0])(params)
+
+        def args_fn(b):
+            return (params, batch_stats, self.dummy_batch(b))
+
+        return _ab(meas, args_fn)
+
+    # ---------------------------------------------------------------- persist
+    def _save_csv(self, epoch, mloss, metrics, lr):
+        keys = (["epoch"] + [f"train/{n}_loss" for n in self.loss_names]
+                + list(self.metric_keys) + ["lr"])
+        vals = ([epoch] + list(mloss.tolist())
+                + [metrics.get(k, 0.0) for k in self.metric_keys] + [lr])
+        write_header = not self.csv.exists()
+        with open(self.csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if write_header:
+                w.writerow(keys)
+            w.writerow(vals)
+
+    def _gather_host(self, tree):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+    def _save_ckpt(self, params, batch_stats, ema, ema_updates, opt_state,
+                   epoch, improved):
+        common = dict(
+            params=self._gather_host(params),
+            batch_stats=self._gather_host(batch_stats),
+            ema_params=self._gather_host(ema["params"]),
+            ema_batch_stats=self._gather_host(ema["batch_stats"]),
+            epoch=epoch, best_fitness=self.best_fitness,
+            updates=int(ema_updates),
+            train_args=dict(vars(self.args)), model_yaml=self.model.yaml)
+        # last.npz carries optimizer state for exact resume (reference
+        # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
+        # reference's strip_optimizer deployment checkpoints)
+        save_checkpoint(self.wdir / "last.npz",
+                        opt_state=self._gather_host(opt_state), **common)
+        if improved:
+            save_checkpoint(self.wdir / "best.npz", **common)
+        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+            save_checkpoint(self.wdir / f"epoch{epoch}.npz", **common)
+
+    def _resume(self, params, batch_stats, ema, ema_updates, opt_state):
+        ckpt = self.wdir / "last.npz"
+        if not ckpt.is_file():
+            LOGGER.info("no checkpoint to resume from; starting fresh")
+            return 0, params, batch_stats, ema, ema_updates, opt_state
+        meta, flat = load_checkpoint(ckpt)
+        params = restore_tree(flat, "params", params)
+        batch_stats = restore_tree(flat, "batch_stats", batch_stats)
+        ema = {"params": restore_tree(flat, "ema", ema["params"]),
+               "batch_stats": (restore_tree(flat, "ema_bs", ema["batch_stats"])
+                               if any(k.startswith("ema_bs/") for k in flat)
+                               else batch_stats)}
+        if any(k.startswith("opt/") for k in flat):
+            opt_state = restore_tree(flat, "opt", opt_state)
+        ema_updates = jnp.asarray(meta["updates"], jnp.int32)
+        self.best_fitness = meta["best_fitness"]
+        start = meta["epoch"] + 1
+        LOGGER.info(f"resumed from {ckpt} at epoch {start}")
+        return start, params, batch_stats, ema, ema_updates, opt_state
+
+
+class DetectionTrainer(BaseTrainer):
+    """Detect task: dedark degrade/priors in-graph, recovery loss folded in."""
+
+    task = "detect"
+    default_model = "yolov8l.yaml"
+    loss_names = ("box", "cls", "dfl")
+
+    def build_train_loader(self):
+        a = self.args
+        hyp_aug = {k: getattr(a, k) for k in
+                   ("mosaic", "mixup", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
+                    "degrees", "translate", "scale", "shear", "perspective",
+                    "flipud", "fliplr")}
+        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz,
+                               nc=self.data["nc"], cache=a.cache,
+                               fraction=a.fraction, single_cls=a.single_cls)
+        self.train_tf = TrainTransforms(hyp_aug, imgsz=a.imgsz)
+        return DataLoader(train_ds, self.train_tf, a.batch,
+                          max_boxes=a.max_boxes, seed=a.seed, workers=a.workers,
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
+
+    def close_augment(self):
+        self.train_tf.mosaic_enabled = False
+
+    def make_loss_fn(self, model):
         a = self.args
         hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
         strides = model.strides
@@ -187,279 +530,17 @@ class DetectionTrainer:
                                           hyp=hyp)
             return total, (items, new_stats)
 
-        accumulate = self.accumulate
-        wd = float(a.weight_decay)
-        kind = self.opt_name
+        return loss_fn
 
-        def train_step(params, batch_stats, opt_state, ema_params, ema_updates,
-                       batch, lr_bias, lr, momentum):
-            (total, (items, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch_stats, batch)
-            params, opt_state = opt_update(
-                params, grads, opt_state, labels, kind=kind, lr_bias=lr_bias,
-                lr=lr, momentum=momentum, weight_decay=wd, accumulate=accumulate)
-            ema_params, ema_updates = ema_update(ema_params, params, ema_updates)
-            return params, new_stats, opt_state, ema_params, ema_updates, total, items
+    def get_validator(self):
+        from .validator import DetectionValidator
+        return DetectionValidator(
+            args=get_cfg(dict(vars(self.args)), {"conf": 0.001}),
+            save_dir=self.save_dir, data=self.data)
 
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4))
-
-    # -------------------------------------------------------------------- train
-    def train(self):
+    def dummy_batch(self, b):
         a = self.args
-        assert self.data, "data yaml required for training"
-        from ..utils.checks import check_imgsz
-        a.imgsz = check_imgsz(a.imgsz, stride=32)
-        # multi-host: initialize the jax distributed runtime when launched with
-        # coordinator env vars (replaces the reference's torch.distributed.run
-        # re-exec, dist.py:26-61 — on TPU the launcher IS the runtime)
-        import os as _os
-        if (_os.environ.get("JAX_COORDINATOR_ADDRESS")
-                and jax.process_count() == 1
-                and not getattr(jax.distributed, "_initialized", False)):
-            try:
-                jax.distributed.initialize()
-            except Exception as e:
-                LOGGER.info(f"jax.distributed.initialize failed: {e}")
-        self.run_callbacks("on_pretrain_routine_start")
-        self.wdir.mkdir(parents=True, exist_ok=True)
-        yaml_save(self.save_dir / "args.yaml", dict(vars(a)))
-
-        # model + state (before mesh/loaders so autobatch can measure the step)
-        model = self.get_model()
-        self.model = model
-        rng = jax.random.PRNGKey(a.seed)
-        variables = model.init(rng, imgsz=a.imgsz, batch=1)
-        params, batch_stats = variables["params"], variables["batch_stats"]
-
-        if a.batch < 0:
-            a.batch = self._autobatch(model, params, batch_stats)
-
-        if a.mesh_shape:
-            mesh = make_mesh(shape=tuple(a.mesh_shape), axes=tuple(a.mesh_axes or ("data",)))
-        else:
-            # use the largest device count that divides the global batch
-            devs = jax.devices()
-            n = len(devs)
-            while n > 1 and a.batch % n != 0:
-                n -= 1
-            mesh = make_mesh(devices=devs[:n])
-        n_dev = mesh.devices.size
-        if a.batch % n_dev != 0:
-            raise ValueError(f"batch {a.batch} must divide evenly over {n_dev} devices")
-        LOGGER.info(f"mesh: {n_dev} device(s) on axis 'data'; global batch {a.batch}")
-
-        # data
-        hyp_aug = {k: getattr(a, k) for k in
-                   ("mosaic", "mixup", "hsv_h", "hsv_s", "hsv_v", "degrees",
-                    "translate", "scale", "shear", "perspective", "flipud", "fliplr")}
-        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"],
-                               cache=a.cache, fraction=a.fraction,
-                               single_cls=a.single_cls)
-        self.train_tf = TrainTransforms(hyp_aug, imgsz=a.imgsz)
-        train_dl = DataLoader(train_ds, self.train_tf, a.batch,
-                              max_boxes=a.max_boxes, seed=a.seed, workers=a.workers,
-                              process_index=jax.process_index(),
-                              process_count=jax.process_count())
-        nb = len(train_dl)
-        assert nb > 0, "empty train loader (batch too large for dataset?)"
-
-        self.build_optimizer(nb)
-        labels = label_params(params)
-        opt_state = init_opt_state(params)
-        ema_params = ema_init(params)
-        ema_updates = jnp.zeros((), jnp.int32)
-
-        start_epoch = 0
-        if a.resume:
-            start_epoch, params, batch_stats, ema_params, ema_updates, opt_state = \
-                self._resume(params, batch_stats, ema_params, ema_updates, opt_state)
-
-        # replicate state over mesh
-        params = replicate(mesh, params)
-        batch_stats = replicate(mesh, batch_stats)
-        opt_state = replicate(mesh, opt_state)
-        ema_params = replicate(mesh, ema_params)
-
-        train_step = self.make_train_step(model, labels)
-        stopper = EarlyStopping(a.patience)
-        n_params = model.num_params({"params": params})
-        LOGGER.info(f"{self.opt_name} optimizer, lr0={self.lr0}, "
-                    f"accumulate={self.accumulate}, params={n_params:,}")
-        self.run_callbacks("on_train_start")
-
-        t_train = time.time()
-        step = 0
-        stop = False
-        for epoch in range(start_epoch, a.epochs):
-            self.epoch = epoch
-            self.run_callbacks("on_train_epoch_start")
-            train_dl.set_epoch(epoch)
-            # close_mosaic (reference trainer.py close_mosaic / dataset.py:152-157)
-            if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
-                self.train_tf.mosaic_enabled = False
-            t0 = time.time()
-            items_log = []  # device arrays; synced once per epoch so the host
-            # loop never blocks on the step (async dispatch overlaps data prep)
-            for bi, batch in enumerate(train_dl):
-                self.run_callbacks("on_train_batch_start")
-                if a.plots and epoch == start_epoch and bi < 3 \
-                        and jax.process_index() == 0:
-                    # train-batch mosaics (reference plot_images, plotting.py:312)
-                    try:
-                        from ..utils.plotting import plot_images
-                        plot_images(batch, self.save_dir / f"train_batch{bi}.jpg",
-                                    names=self.data.get("names"))
-                    except Exception:
-                        pass
-                if a.profile and epoch == start_epoch and bi == 2 \
-                        and jax.process_index() == 0:
-                    # one traced step after warmup (reference profiles per layer
-                    # with thop, tasks.py:129-151; on TPU the unit is the XLA
-                    # trace, viewable in TensorBoard/xprof)
-                    jax.profiler.start_trace(str(self.save_dir / "profile"))
-                dev_batch = shard_batch(mesh, batch)
-                (params, batch_stats, opt_state, ema_params, ema_updates,
-                 total, items) = train_step(
-                    params, batch_stats, opt_state, ema_params, ema_updates,
-                    dev_batch, jnp.float32(self._lr_at(step, "bias")),
-                    jnp.float32(self._lr_at(step, "weight")),
-                    jnp.float32(self._momentum_at(step)))
-                items_log.append(items)
-                if a.profile and epoch == start_epoch and bi == 2 \
-                        and jax.process_index() == 0:
-                    jax.block_until_ready(total)
-                    jax.profiler.stop_trace()
-                step += 1
-                self.run_callbacks("on_train_batch_end")
-            mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
-                                                  for it in items_log])), axis=0)
-            epoch_time = time.time() - t0
-            lr_now = self._lr_at(step, "weight")
-
-            # per-epoch validation with EMA params, fp32 (validator.py:102-111)
-            fitness = 0.0
-            metrics = {}
-            if a.val and jax.process_index() == 0:
-                if not hasattr(self, "_validator"):
-                    # construct ONCE: the jitted val step is cached on the
-                    # validator, so per-epoch val reuses one compiled graph
-                    from .validator import DetectionValidator
-                    self._validator = DetectionValidator(
-                        args=get_cfg(dict(vars(a)), {"conf": 0.001}),
-                        save_dir=self.save_dir, data=self.data)
-                metrics = self._validator(model=model, params=ema_params,
-                                          batch_stats=batch_stats, mesh=mesh)
-                fitness = metrics.get("fitness", 0.0)
-            self.metrics = metrics
-
-            LOGGER.info(
-                f"epoch {epoch + 1}/{a.epochs} box {mloss[0]:.4f} cls {mloss[1]:.4f} "
-                f"dfl {mloss[2]:.4f} lr {lr_now:.5f} fitness {fitness:.4f} "
-                f"({epoch_time:.1f}s)")
-            self._save_csv(epoch, mloss, metrics, lr_now)
-
-            if fitness >= self.best_fitness:
-                self.best_fitness = fitness
-            if a.save and jax.process_index() == 0:
-                self._save_ckpt(params, batch_stats, ema_params, ema_updates,
-                                opt_state, epoch, fitness)
-            self.run_callbacks("on_fit_epoch_end")
-            if stopper(epoch, fitness):
-                LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
-                            f"(no improvement for {a.patience} epochs)")
-                stop = True
-            if stop:
-                break
-
-        LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
-                    f"results in {self.save_dir}")
-        if a.plots:
-            try:
-                from ..utils.plotting import plot_results
-                plot_results(self.csv)
-            except Exception as e:  # plotting must never kill a run
-                LOGGER.info(f"plot_results failed: {e}")
-        self.run_callbacks("on_train_end")
-        return self.metrics
-
-    def _autobatch(self, model, params, batch_stats):
-        """Fit the global batch to device memory via XLA memory analysis
-        (reference autobatch.py:32 fits to 67% of CUDA memory)."""
-        from ..utils.autobatch import autobatch as _ab
-        a = self.args
-        hyp = {"box": a.box, "cls": a.cls, "dfl": a.dfl, "lrl": a.lrl}
-
-        def meas(params, bs, img, bboxes, cls, mask):
-            def lf(p):
-                raw, _ = model.apply_train({"params": p, "batch_stats": bs},
-                                           img.astype(jnp.float32) / 255.0)
-                t, _ = detection_loss(raw, {"cls": cls, "bboxes": bboxes,
-                                            "mask_gt": mask}, nc=model.nc,
-                                      strides=model.strides, hyp=hyp)
-                return t
-            return jax.grad(lf)(params)
-
-        def args_fn(b):
-            return (params, batch_stats,
-                    jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
-                    jnp.zeros((b, a.max_boxes, 4), jnp.float32),
-                    jnp.zeros((b, a.max_boxes), jnp.float32),
-                    jnp.zeros((b, a.max_boxes), jnp.float32))
-
-        return _ab(meas, args_fn)
-
-    # ---------------------------------------------------------------- persist
-    def _save_csv(self, epoch, mloss, metrics, lr):
-        keys = ["epoch", "train/box_loss", "train/cls_loss", "train/dfl_loss",
-                "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)",
-                "metrics/mAP50-95(B)", "lr"]
-        vals = [epoch, *mloss.tolist(),
-                metrics.get("metrics/precision(B)", 0.0),
-                metrics.get("metrics/recall(B)", 0.0),
-                metrics.get("metrics/mAP50(B)", 0.0),
-                metrics.get("metrics/mAP50-95(B)", 0.0), lr]
-        write_header = not self.csv.exists()
-        with open(self.csv, "a", newline="") as f:
-            w = csv.writer(f)
-            if write_header:
-                w.writerow(keys)
-            w.writerow(vals)
-
-    def _gather_host(self, tree):
-        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
-
-    def _save_ckpt(self, params, batch_stats, ema_params, ema_updates, opt_state,
-                   epoch, fitness):
-        common = dict(
-            params=self._gather_host(params),
-            batch_stats=self._gather_host(batch_stats),
-            ema_params=self._gather_host(ema_params),
-            epoch=epoch, best_fitness=self.best_fitness,
-            updates=int(ema_updates),
-            train_args=dict(vars(self.args)), model_yaml=self.model.yaml)
-        # last.npz carries optimizer state for exact resume (reference
-        # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
-        # reference's strip_optimizer deployment checkpoints)
-        save_checkpoint(self.wdir / "last.npz",
-                        opt_state=self._gather_host(opt_state), **common)
-        if fitness >= self.best_fitness:
-            save_checkpoint(self.wdir / "best.npz", **common)
-        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
-            save_checkpoint(self.wdir / f"epoch{epoch}.npz", **common)
-
-    def _resume(self, params, batch_stats, ema_params, ema_updates, opt_state):
-        ckpt = self.wdir / "last.npz"
-        if not ckpt.is_file():
-            LOGGER.info("no checkpoint to resume from; starting fresh")
-            return 0, params, batch_stats, ema_params, ema_updates, opt_state
-        meta, flat = load_checkpoint(ckpt)
-        params = restore_tree(flat, "params", params)
-        batch_stats = restore_tree(flat, "batch_stats", batch_stats)
-        ema_params = restore_tree(flat, "ema", ema_params)
-        if any(k.startswith("opt/") for k in flat):
-            opt_state = restore_tree(flat, "opt", opt_state)
-        ema_updates = jnp.asarray(meta["updates"], jnp.int32)
-        self.best_fitness = meta["best_fitness"]
-        start = meta["epoch"] + 1
-        LOGGER.info(f"resumed from {ckpt} at epoch {start}")
-        return start, params, batch_stats, ema_params, ema_updates, opt_state
+        return {"img": jnp.zeros((b, a.imgsz, a.imgsz, 3), jnp.uint8),
+                "bboxes": jnp.zeros((b, a.max_boxes, 4), jnp.float32),
+                "cls": jnp.zeros((b, a.max_boxes), jnp.float32),
+                "mask_gt": jnp.zeros((b, a.max_boxes), jnp.float32)}

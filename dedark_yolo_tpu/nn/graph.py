@@ -316,7 +316,15 @@ class YOLOGraph(nn.Module):
     def setup(self):
         mods = []
         for s in self.specs:
-            m = _build_module(s, dict(self.head), self.enhance_impl)
+            if s.n > 1 and s.name not in _REPEAT_BLOCKS:
+                # n repeats of a non-repeat block chain n DISTINCT modules
+                # (the reference builds n copies via nn.Sequential,
+                # tasks.py:905-906) — one shared instance would silently tie
+                # their weights
+                m = tuple(_build_module(s, dict(self.head), self.enhance_impl)
+                          for _ in range(s.n))
+            else:
+                m = _build_module(s, dict(self.head), self.enhance_impl)
             mods.append(m if m is not None else ())
         self.mods = mods
 
@@ -340,10 +348,10 @@ class YOLOGraph(nn.Module):
                 raw = mod(inp, train=train)
                 y = raw
             else:
-                if spec.n > 1:
+                if spec.n > 1 and spec.name not in _REPEAT_BLOCKS:
                     y = inp
-                    for _ in range(spec.n):
-                        y = mod(y, train=train)
+                    for m_i in mod:   # n distinct submodules chained
+                        y = m_i(y, train=train)
                 else:
                     y = mod(inp, train=train)
             if spec.i in self.save:

@@ -67,21 +67,27 @@ def _nms_single(boxes, scores, iou_thres, max_det):
 
 @functools.partial(jax.jit, static_argnames=(
     "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label", "agnostic",
-    "max_wh"))
+    "max_wh", "return_idx"))
 def non_max_suppression(boxes_xywh, class_scores, conf_thres=0.25, iou_thres=0.45,
                         max_det=300, max_nms=2048, multi_label=True, agnostic=False,
-                        max_wh=7680.0, class_mask=None):
+                        max_wh=7680.0, class_mask=None, return_idx=False):
     """Batched fixed-shape NMS.
 
     Args:
         boxes_xywh:   (B, N, 4) decoded boxes in pixels (cx, cy, w, h).
         class_scores: (B, N, nc) sigmoid class probabilities.
         class_mask:   optional (nc,) 0/1 mask to filter classes (ops.py:244-245).
+        return_idx:   also return the ORIGINAL anchor index of every kept
+                      detection (B, max_det) int32, -1 for invalid slots — lets
+                      segment/pose gather per-anchor mask coefficients and
+                      keypoints exactly (the reference keeps extra columns
+                      through NMS instead, ops.py:234-276).
 
     Returns:
         dets:   (B, max_det, 6) [x1, y1, x2, y2, conf, cls]; invalid rows have
                 conf == 0 and cls == -1.
         counts: (B,) number of valid detections per image.
+        [idx:   (B, max_det) int32 anchor indices, when return_idx.]
     """
     b, n, nc = class_scores.shape
     scores = class_scores
@@ -122,4 +128,8 @@ def non_max_suppression(boxes_xywh, class_scores, conf_thres=0.25, iou_thres=0.4
     dets = jnp.concatenate(
         [out_boxes, keep_scores[..., None], out_cls[..., None]], axis=-1)
     counts = jnp.sum(valid, axis=-1)
+    if return_idx:
+        out_anchor = jnp.take_along_axis(anchor_idx, gather, axis=1)
+        out_anchor = jnp.where(valid, out_anchor, -1).astype(jnp.int32)
+        return dets, counts, out_anchor
     return dets, counts

@@ -27,13 +27,16 @@ def tree_to_npz_dict(tree, prefix):
 
 
 def save_checkpoint(path, *, params=None, batch_stats=None, ema_params=None,
-                    opt_state=None, epoch=0, best_fitness=0.0, updates=0,
-                    train_args=None, model_yaml=None):
+                    ema_batch_stats=None, opt_state=None, epoch=0,
+                    best_fitness=0.0, updates=0, train_args=None,
+                    model_yaml=None):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    sections = (("params", params), ("batch_stats", batch_stats),
+                ("ema", ema_params), ("ema_bs", ema_batch_stats),
+                ("opt", opt_state))
     flat = {}
-    for name, tree in (("params", params), ("batch_stats", batch_stats),
-                       ("ema", ema_params), ("opt", opt_state)):
+    for name, tree in sections:
         if tree is not None:
             flat.update(tree_to_npz_dict(tree, name))
     meta = {
@@ -44,8 +47,7 @@ def save_checkpoint(path, *, params=None, batch_stats=None, ema_params=None,
         "model_yaml": model_yaml,
         "date": datetime.now().isoformat(),
         "version": "0.1.0",
-        "has": [k for k, v in (("params", params), ("batch_stats", batch_stats),
-                               ("ema", ema_params), ("opt", opt_state)) if v is not None],
+        "has": [k for k, v in sections if v is not None],
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **flat)
     return path

@@ -81,6 +81,21 @@ def test_loader_determinism(synth):
     assert not np.array_equal(b1["img"], b3["img"])
 
 
+def test_loader_determinism_with_mixup(synth):
+    """mixup=1.0 draws its beta from the seeded per-item rng — two loaders
+    with the same seed must still produce identical batches."""
+    hyp = {"mosaic": 1.0, "mixup": 1.0, "fliplr": 0.5, "translate": 0.1,
+           "scale": 0.5}
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    tf = TrainTransforms(hyp, imgsz=160)
+    dl1 = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=11, workers=2)
+    dl2 = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=11, workers=2)
+    b1, b2 = next(iter(dl1)), next(iter(dl2))
+    np.testing.assert_array_equal(b1["img"], b2["img"])
+    np.testing.assert_array_equal(b1["bboxes"], b2["bboxes"])
+    np.testing.assert_array_equal(b1["cls"], b2["cls"])
+
+
 def test_host_sharding(synth):
     hyp = {"mosaic": 0.0, "fliplr": 0.0, "translate": 0.1, "scale": 0.5}
     ds = YOLODataset(synth["train"], imgsz=160, nc=3)
