@@ -59,16 +59,19 @@ def _fc1_permutation(c=32, h=8, w=8):
     return idx
 
 
-def _torch_base(flax_path: str, spec_name: str) -> str:
+def _torch_base(flax_path: str, spec_name: str, spec_args=()) -> str:
     """Map a flax sub-path (inside mods_i) to the torch submodule base name."""
     parts = flax_path.split("/") if flax_path else []
 
     def conv_pair(sub):  # our Conv module -> torch Conv module's children
         return {"Conv_0": f"{sub}.conv", "BatchNorm_0": f"{sub}.bn"}
 
+    def addconv_pair(sub):  # our AddConv -> torch add_conv Sequential children
+        return {"Conv_0": f"{sub}.conv", "BatchNorm_0": f"{sub}.batch_norm"}
+
     if spec_name in ("Conv", "DWConv"):
         return {"Conv_0": "conv", "BatchNorm_0": "bn"}["/".join(parts[:1])]
-    if spec_name in ("SPPF", "SPP"):
+    if spec_name in ("SPPF", "SPP", "GhostConv"):
         top = parts[0]
         sub = {"Conv_0": "cv1", "Conv_1": "cv2"}[top]
         return conv_pair(sub)[parts[1]]
@@ -80,6 +83,60 @@ def _torch_base(flax_path: str, spec_name: str) -> str:
             return conv_pair(f"m.{k}.{inner}")[parts[2]]
         sub = {"Conv_0": "cv1", "Conv_1": "cv2"}[top]
         return conv_pair(sub)[parts[1]]
+    if spec_name in ("C3", "C3Ghost"):
+        top = parts[0]
+        if top.startswith("Bottleneck_"):
+            k = int(top.split("_")[1])
+            inner = {"Conv_0": "cv1", "Conv_1": "cv2"}[parts[1]]
+            return conv_pair(f"m.{k}.{inner}")[parts[2]]
+        # creation order in our C3: cv1 (Conv_0), bottlenecks, cv2 (Conv_1),
+        # cv3 (Conv_2) — matches reference attr names cv1/cv2/cv3
+        sub = {"Conv_0": "cv1", "Conv_1": "cv2", "Conv_2": "cv3"}[top]
+        return conv_pair(sub)[parts[1]]
+    if spec_name == "C3x":
+        top = parts[0]
+        if top.startswith("CrossConv_"):
+            j = int(top.split("_")[1])
+            # pairs (2k, 2k+1) -> torch m.k.cv1 / m.k.cv2 (cross kernels live
+            # inside the reference Bottleneck's cv1/cv2, block.py:489-496)
+            sub = f"m.{j // 2}.cv{j % 2 + 1}"
+            return {"Conv_0": f"{sub}.conv", "BatchNorm_0": f"{sub}.bn"}[parts[1]]
+        sub = {"Conv_0": "cv1", "Conv_1": "cv2", "Conv_2": "cv3"}[top]
+        return conv_pair(sub)[parts[1]]
+    if spec_name in ("AsffTribeLevel", "AsffDoubLevel"):
+        level = int(spec_args[0]) if spec_args else 0
+        top = parts[0]
+        if top.startswith("Conv2d_"):
+            return "weight_levels"
+        if spec_name == "AsffTribeLevel":
+            order = (["stride_level_2", "weight_level_0", "weight_level_1",
+                      "weight_level_2", "expand"] if level in (0, 1) else
+                     ["compress_level_0", "compress_level_1", "weight_level_0",
+                      "weight_level_1", "weight_level_2", "expand"])
+        else:  # AsffDoubLevel
+            order = (["stride_level_1", "weight_level_0", "weight_level_1",
+                      "expand"] if level == 0 else
+                     ["compress_level_0", "weight_level_0", "weight_level_1",
+                      "expand"])
+        sub = order[int(top.split("_")[1])]
+        return addconv_pair(sub)[parts[1]]
+    if spec_name in ("Segment", "Pose"):
+        top = parts[0]
+        if top == "detect":
+            # inherited Detect attrs live directly on the torch module
+            return _torch_base("/".join(parts[1:]), "Detect")
+        if top == "Proto_0":
+            sub = {"Conv_0": "proto.cv1", "ConvTranspose_0": "proto.upsample",
+                   "Conv_1": "proto.cv2", "Conv_2": "proto.cv3"}[parts[1]]
+            if parts[1] == "ConvTranspose_0":
+                return sub
+            return conv_pair(sub)[parts[2]]
+        m = re.match(r"cv4_(\d+)_(\d+)$", top)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            if j < 2:
+                return conv_pair(f"cv4.{i}.{j}")[parts[1]]
+            return f"cv4.{i}.{j}"
     if spec_name in ("Detect", "AsffDetect"):
         top = parts[0]
         m = re.match(r"(cv[23])_(\d+)_(\d+)$", top)
@@ -125,13 +182,17 @@ def convert_state_dict(torch_sd: dict, model, example_variables):
         spec = specs_by_idx[i]
         leaf = keys[-1]
         sub = "/".join(keys[1:-1])
-        base = _torch_base(sub, spec.name)
+        base = _torch_base(sub, spec.name, spec.args)
         tkey = f"model.{i}.{base}"
         if section == "params":
             if leaf == "kernel":
                 wt = torch_sd[f"{tkey}.weight"]
                 if wt.ndim == 4:
-                    arr = _t_conv(wt)
+                    # ConvTranspose2d stores (I, O, kh, kw) vs Conv2d (O, I, kh, kw)
+                    if any(k.startswith("ConvTranspose") for k in keys):
+                        arr = np.transpose(wt, (2, 3, 0, 1))
+                    else:
+                        arr = _t_conv(wt)
                 else:
                     arr = _t_linear(wt)
                     if base == "extractor.fc1":
@@ -178,13 +239,16 @@ def export_state_dict(variables, model):
             i = int(keys[0].split("_")[1])
             spec = specs_by_idx[i]
             leaf_name = keys[-1]
-            base = _torch_base("/".join(keys[1:-1]), spec.name)
+            base = _torch_base("/".join(keys[1:-1]), spec.name, spec.args)
             tkey = f"model.{i}.{base}"
             arr = np.asarray(leaf)
             if section == "params":
                 if leaf_name == "kernel":
                     if arr.ndim == 4:
-                        sd[f"{tkey}.weight"] = np.transpose(arr, (3, 2, 0, 1))
+                        if any(k.startswith("ConvTranspose") for k in keys):
+                            sd[f"{tkey}.weight"] = np.transpose(arr, (2, 3, 0, 1))
+                        else:
+                            sd[f"{tkey}.weight"] = np.transpose(arr, (3, 2, 0, 1))
                     else:
                         if base == "extractor.fc1":
                             arr = arr[inv_perm, :]
