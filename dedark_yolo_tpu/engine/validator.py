@@ -12,10 +12,11 @@ points:
     validator.py:160-199's Profile timers.
 
 TPU design: one jitted forward+decode+NMS graph of fixed shapes; matching happens
-in numpy on the small per-image detection sets. Boxes and labels are compared in
-the letterboxed val frame — both sides undergo the identical letterbox transform,
-so the matching (and mAP) is equivalent to the reference's native-space matching
-up to boundary clipping.
+in numpy on the small per-image detection sets, in NATIVE image space like the
+reference: predictions are letterbox-inverted with scale_boxes (detect/val.py:84-116)
+and ground truth comes from the original normalized labels scaled by the true
+original shape, so mAP and the COCO json coordinates match the reference's
+measurement definition exactly (detect/val.py:221-258).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import numpy as np
 from ..cfg import get_cfg, DEFAULT_CFG_DICT
 from ..data import YOLODataset, DataLoader, ValTransforms, check_det_dataset
 from ..losses import detection_loss
-from ..ops.boxes import xywh2xyxy
+from ..ops.boxes import scale_boxes, xywh2xyxy
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions
 
@@ -122,50 +123,71 @@ class DetectionValidator:
         t_inf = t_post = 0.0
 
         jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
-        img_id = 0
-        for batch in (b for dl in loaders for b in dl):
-            bsz = batch["img"].shape[0]
-            t0 = time.perf_counter()
-            out = val_step(params, batch_stats, batch)
-            dets = np.asarray(out["dets"])
-            counts = np.asarray(out["counts"])
-            jax.block_until_ready(dets)
-            t_inf += time.perf_counter() - t0
+        orig_shapes = ds.image_shapes()   # true original (h, w) per dataset index
+        for dl in loaders:
+            order = dl._indices()   # shuffle=False: batches chunk this order
+            cursor = 0
+            for batch in dl:
+                bsz = batch["img"].shape[0]
+                ds_idxs = order[cursor:cursor + bsz]
+                cursor += bsz
+                t0 = time.perf_counter()
+                out = val_step(params, batch_stats, batch)
+                dets = np.asarray(out["dets"])
+                counts = np.asarray(out["counts"])
+                jax.block_until_ready(dets)
+                t_inf += time.perf_counter() - t0
 
-            if with_loss:
-                loss_accum += np.asarray(out["loss_items"])
-            n_batches += 1
+                if with_loss:
+                    loss_accum += np.asarray(out["loss_items"])
+                n_batches += 1
 
-            t1 = time.perf_counter()
-            bh, bw = batch["img"].shape[1], batch["img"].shape[2]
-            gt_scale = np.asarray([bw, bh, bw, bh], np.float32)
-            for i in range(bsz):
-                n_images += 1
-                k = int(counts[i])
-                det = dets[i, :k]          # (k, 6) xyxy conf cls (letterbox frame)
-                m = batch["mask_gt"][i] > 0
-                gt_xywh = batch["bboxes"][i][m] * gt_scale
-                gt_cls = batch["cls"][i][m]
-                gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh))) if len(gt_xywh) \
-                    else np.zeros((0, 4), np.float32)
-                tp = match_predictions(det[:, :4], det[:, 5], gt_xyxy, gt_cls)
-                stats["tp"].append(tp)
-                stats["conf"].append(det[:, 4])
-                stats["pred_cls"].append(det[:, 5])
-                stats["target_cls"].append(gt_cls)
-                if a.plots:
-                    cm.process_batch(det, gt_xyxy, gt_cls)
-                if a.save_json:
-                    for d in det:
-                        jdict.append({
-                            "image_id": img_id,
-                            "category_id": int(d[5]),
-                            "bbox": [round(float(d[0]), 3), round(float(d[1]), 3),
-                                     round(float(d[2] - d[0]), 3),
-                                     round(float(d[3] - d[1]), 3)],
-                            "score": round(float(d[4]), 5)})
-                img_id += 1
-            t_post += time.perf_counter() - t1
+                t1 = time.perf_counter()
+                bh, bw = batch["img"].shape[1], batch["img"].shape[2]
+                for i in range(bsz):
+                    n_images += 1
+                    idx = ds_idxs[i]
+                    h0, w0 = (int(orig_shapes[idx][0]), int(orig_shapes[idx][1]))
+                    k = int(counts[i])
+                    det = dets[i, :k].copy()   # (k, 6) xyxy conf cls (letterbox)
+                    if k:
+                        # letterbox-inverse to original image space
+                        # (reference detect/val.py:84-116 / ops.py:95-125)
+                        det[:, :4] = np.asarray(scale_boxes(
+                            (bh, bw), jnp.asarray(det[:, :4]), (h0, w0)))
+                    # ground truth in native space from the original labels
+                    lb = ds.labels[idx]
+                    gt_cls = lb[:, 0].copy().astype(np.float32)
+                    if a.single_cls:
+                        gt_cls[:] = 0
+                    if len(lb):
+                        gt_xywh = lb[:, 1:5] * np.asarray([w0, h0, w0, h0],
+                                                          np.float32)
+                        gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh)))
+                    else:
+                        gt_xyxy = np.zeros((0, 4), np.float32)
+                    tp = match_predictions(det[:, :4], det[:, 5], gt_xyxy, gt_cls)
+                    stats["tp"].append(tp)
+                    stats["conf"].append(det[:, 4])
+                    stats["pred_cls"].append(det[:, 5])
+                    stats["target_cls"].append(gt_cls)
+                    if a.plots:
+                        cm.process_batch(det, gt_xyxy, gt_cls)
+                    if a.save_json:
+                        # native-space xywh + filename-derived id
+                        # (reference detect/val.py:221-236 pred_to_json)
+                        stem = Path(ds.im_files[idx]).stem
+                        image_id = int(stem) if stem.isnumeric() else stem
+                        for d in det:
+                            jdict.append({
+                                "image_id": image_id,
+                                "category_id": int(d[5]),
+                                "bbox": [round(float(d[0]), 3),
+                                         round(float(d[1]), 3),
+                                         round(float(d[2] - d[0]), 3),
+                                         round(float(d[3] - d[1]), 3)],
+                                "score": round(float(d[4]), 5)})
+                t_post += time.perf_counter() - t1
 
         if n_images == 0:
             return {}
