@@ -75,21 +75,16 @@ def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
             (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr))
 
 
-def random_perspective(img, boxes_xyxy, cls, degrees=0.0, translate=0.1,
-                       scale=0.5, shear=0.0, perspective=0.0, border=(0, 0),
-                       rng=None):
-    """Affine/perspective warp of image + xyxy pixel boxes.
-
-    Reference augment.py (RandomPerspective): M = T @ S @ R @ P @ C, warp with
-    gray 114 border, transform box corners, clip, filter candidates.
-    """
-    rng = rng or random
-    height = img.shape[0] + border[0] * 2
-    width = img.shape[1] + border[1] * 2
+def _affine_matrix(img_shape, degrees, translate, scale, shear, perspective,
+                   border, rng):
+    """Random M = T @ S @ R @ P @ C + output (height, width, s) for an affine
+    warp (reference augment.py RandomPerspective affine_transform)."""
+    height = img_shape[0] + border[0] * 2
+    width = img_shape[1] + border[1] * 2
 
     C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
+    C[0, 2] = -img_shape[1] / 2
+    C[1, 2] = -img_shape[0] / 2
 
     P = np.eye(3)
     P[2, 0] = rng.uniform(-perspective, perspective)
@@ -108,14 +103,42 @@ def random_perspective(img, boxes_xyxy, cls, degrees=0.0, translate=0.1,
     T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
     T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
-    M = T @ S @ R @ P @ C
+    return T @ S @ R @ P @ C, height, width, s
+
+
+def warp_image(img, M, height, width, perspective=0.0):
+    """Apply the affine/perspective matrix with the gray-114 border fill."""
+    if perspective:
+        return cv2.warpPerspective(img, M, dsize=(width, height),
+                                   borderValue=(114, 114, 114))
+    return cv2.warpAffine(img, M[:2], dsize=(width, height),
+                          borderValue=(114, 114, 114))
+
+
+def transform_points(pts, M, perspective=0.0):
+    """Transform (n, 2) pixel points by the 3x3 matrix."""
+    n = len(pts)
+    if n == 0:
+        return pts
+    xy = np.ones((n, 3))
+    xy[:, :2] = pts
+    xy = xy @ M.T
+    return xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+
+
+def random_perspective(img, boxes_xyxy, cls, degrees=0.0, translate=0.1,
+                       scale=0.5, shear=0.0, perspective=0.0, border=(0, 0),
+                       rng=None):
+    """Affine/perspective warp of image + xyxy pixel boxes.
+
+    Reference augment.py (RandomPerspective): M = T @ S @ R @ P @ C, warp with
+    gray 114 border, transform box corners, clip, filter candidates.
+    """
+    rng = rng or random
+    M, height, width, s = _affine_matrix(img.shape, degrees, translate, scale,
+                                         shear, perspective, border, rng)
     if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            img = cv2.warpPerspective(img, M, dsize=(width, height),
-                                      borderValue=(114, 114, 114))
-        else:
-            img = cv2.warpAffine(img, M[:2], dsize=(width, height),
-                                 borderValue=(114, 114, 114))
+        img = warp_image(img, M, height, width, perspective)
 
     n = len(boxes_xyxy)
     if n:
@@ -240,7 +263,10 @@ class TrainTransforms:
 
     `mosaic_enabled` can be switched off for the final close_mosaic epochs
     (reference dataset.py:152-157), falling back to LetterBox like the reference's
-    pre_transform path.
+    pre_transform path. CopyPaste is intentionally absent HERE: it requires
+    instance polygons, so in the reference's detect pipeline it is a no-op
+    (augment.py:621 gates on len(instances.segments)); the segment pipeline
+    (data/segment.py SegTrainTransforms) implements it for real.
     """
 
     def __init__(self, hyp, imgsz=640, n_mosaic=4):

@@ -62,18 +62,22 @@ class PoseTrainer(BaseTrainer):
     def build_train_loader(self):
         a = self.args
         nk = self.kpt_shape[0]
+        from ..data.pose import PoseTrainTransforms
         ds = PoseDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"],
                          kpt_shape=self.kpt_shape)
-        # fliplr stays off until keypoint flip_idx pairs are configurable
-        # (left/right keypoints must swap under a horizontal flip)
-        tf = (lambda dataset, i, rng:
-              dataset.load(i, fliplr_p=0.0, train=True, rng=rng))
+        hyp_aug = {k: getattr(a, k) for k in
+                   ("mosaic", "hsv_h", "hsv_s", "hsv_v", "degrees",
+                    "translate", "scale", "shear", "perspective")}
+        self.train_tf = PoseTrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(
-            ds, tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
+            ds, self.train_tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
             workers=a.workers, process_index=jax.process_index(),
             process_count=jax.process_count(),
             collate_fn=lambda items: collate_pose(items, max_boxes=a.max_boxes,
                                                   nk=nk))
+
+    def close_augment(self):
+        self.train_tf.mosaic_enabled = False
 
     def make_loss_fn(self, model):
         a = self.args

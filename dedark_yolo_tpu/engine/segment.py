@@ -45,15 +45,22 @@ class SegmentationTrainer(BaseTrainer):
 
     def build_train_loader(self):
         a = self.args
+        from ..data.segment import SegTrainTransforms
         ds = SegmentDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"])
-        tf = (lambda dataset, i, rng:
-              dataset.load(i, fliplr_p=a.fliplr, train=True, rng=rng))
+        hyp_aug = {k: getattr(a, k) for k in
+                   ("mosaic", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
+                    "degrees", "translate", "scale", "shear", "perspective",
+                    "fliplr")}
+        self.train_tf = SegTrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(
-            ds, tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
+            ds, self.train_tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,
             workers=a.workers, process_index=jax.process_index(),
             process_count=jax.process_count(),
             collate_fn=lambda items: collate_segment(
                 items, max_boxes=a.max_boxes, mask_ratio=a.mask_ratio))
+
+    def close_augment(self):
+        self.train_tf.mosaic_enabled = False
 
     def make_loss_fn(self, model):
         a = self.args

@@ -122,6 +122,16 @@ class DetectionValidator:
         n_images = 0
         t_inf = t_post = 0.0
 
+        # multi-device val: params replicated once, each batch sharded over the
+        # mesh's data axis — XLA runs the forward+NMS SPMD and the host gathers
+        # the small fixed-shape outputs (replaces the reference's rank-0-only
+        # val, validator.py:102-111, with true in-val data parallelism)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        if n_dev > 1:
+            from ..parallel import replicate, shard_batch
+            params = replicate(mesh, params)
+            batch_stats = replicate(mesh, batch_stats)
+
         jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
         orig_shapes = ds.image_shapes()   # true original (h, w) per dataset index
         for dl in loaders:
@@ -132,7 +142,9 @@ class DetectionValidator:
                 ds_idxs = order[cursor:cursor + bsz]
                 cursor += bsz
                 t0 = time.perf_counter()
-                out = val_step(params, batch_stats, batch)
+                dev_batch = (shard_batch(mesh, batch)
+                             if n_dev > 1 and bsz % n_dev == 0 else batch)
+                out = val_step(params, batch_stats, dev_batch)
                 dets = np.asarray(out["dets"])
                 counts = np.asarray(out["counts"])
                 jax.block_until_ready(dets)

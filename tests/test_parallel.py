@@ -47,6 +47,31 @@ def test_grad_allreduce_semantics():
     assert g_sharded.sharding.is_fully_replicated
 
 
+def test_multidevice_validation(tmp_path):
+    """DetectionValidator shards val batches over a >1-device mesh and
+    produces the same stats machinery as single-device (VERDICT round-1 #8)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from synth import make_synth_dataset
+    from dedark_yolo_tpu.cfg import get_cfg, DEFAULT_CFG_DICT, model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.engine.validator import DetectionValidator
+
+    yaml_path = make_synth_dataset(tmp_path / "ds", n_train=4, n_val=8)
+    d = model_yaml_load(str(Path(__file__).resolve().parent / "tiny_model.yaml"))
+    model = DetectionModel(d, nc=3)
+    v = model.init(jax.random.PRNGKey(0), imgsz=96)
+    args = get_cfg(DEFAULT_CFG_DICT, {
+        "data": str(yaml_path), "imgsz": 96, "batch": 8, "max_boxes": 16,
+        "max_nms": 128, "max_det": 10, "rect": False, "plots": False,
+        "workers": 2, "verbose": False})
+    mesh = make_mesh()  # 8 virtual devices
+    validator = DetectionValidator(args=args, save_dir=tmp_path / "val")
+    metrics = validator(model=model, params=v["params"],
+                        batch_stats=v["batch_stats"], mesh=mesh)
+    assert "metrics/mAP50(B)" in metrics and "fitness" in metrics
+
+
 def test_dryrun_multichip_entrypoint():
     spec = importlib.util.spec_from_file_location(
         "graft_entry", Path(__file__).resolve().parents[1] / "__graft_entry__.py")
