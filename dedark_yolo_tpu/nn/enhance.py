@@ -214,9 +214,12 @@ class LowlightRecovery(nn.Module):
             IcA = jnp.full((b, h, w, 1), DEFAULT_ICA, dtype=x.dtype)
         small = jax.image.resize(x, (b, 256, 256, x.shape[-1]), method="bilinear")
         features = ExtractParameters2()(small)
-        if self.impl == "pallas" and not train:
-            # lazy import (the kernel module imports this one for the formulas);
-            # grads through pallas_call need a custom VJP, so train keeps XLA
-            from ..ops.pallas.enhance_kernel import fused_enhance
-            return fused_enhance(x, features, dedark_A, IcA)
+        if self.impl == "pallas":
+            # lazy import (the kernel module imports this one for the formulas).
+            # Differentiable in BOTH directions: fused VMEM forward + custom
+            # VJP that rematerializes backward through the XLA chain, so
+            # training uses the kernel too (interpret mode off-TPU for tests)
+            from ..ops.pallas.enhance_kernel import fused_enhance_diff
+            return fused_enhance_diff(x, features, dedark_A, IcA,
+                                      jax.default_backend() != "tpu")
         return apply_filter_chain(x, features, dedark_A, IcA)

@@ -207,3 +207,31 @@ def fused_enhance(img, features, dedark_A, IcA, interpret=False):
         y = E.apply_point_filters(img, p, dedark_A, IcA)
         return usm_pallas(y, p["usm"], interpret=interpret)
     return E.apply_filter_chain(img, features, dedark_A, IcA)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_enhance_diff(img, features, dedark_A, IcA, interpret=False):
+    """Differentiable fused enhance: Pallas VMEM kernel forward, rematerialized
+    backward through the identical-math XLA chain (nn/enhance.py).
+
+    Only the RAW inputs are saved as residuals — the backward re-derives the
+    chain's intermediates from them, so no full-resolution activations are
+    stored between forward and backward (jax.checkpoint semantics by
+    construction: the enhance stage costs one extra cheap elementwise pass in
+    backward and zero activation HBM, which is the right trade at 640px where
+    each stored plane is 4.9MB/image)."""
+    return fused_enhance(img, features, dedark_A, IcA, interpret=interpret)
+
+
+def _diff_fwd(img, features, dedark_A, IcA, interpret):
+    return (fused_enhance(img, features, dedark_A, IcA, interpret=interpret),
+            (img, features, dedark_A, IcA))
+
+
+def _diff_bwd(interpret, res, g):
+    img, features, dedark_A, IcA = res
+    _, vjp = jax.vjp(E.apply_filter_chain, img, features, dedark_A, IcA)
+    return vjp(g)
+
+
+fused_enhance_diff.defvjp(_diff_fwd, _diff_bwd)

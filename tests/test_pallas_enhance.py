@@ -57,3 +57,41 @@ def test_vmem_gates():
     assert not _fits_full(640, 640)   # 640 uses the two-stage path
     assert _fits_usm(640, 640)
     assert not _fits_usm(2048, 2048)  # falls back to pure JAX
+
+
+def test_fused_enhance_diff_gradients_match_xla():
+    """Custom-VJP pallas enhance: value from the kernel, grads identical to the
+    XLA chain (training path uses this, VERDICT round-1 item on pallas-train)."""
+    import jax
+    from dedark_yolo_tpu.ops.pallas.enhance_kernel import fused_enhance_diff
+    img, feats, A, ica = _inputs()
+
+    def loss_pallas(img, feats):
+        return jnp.sum(fused_enhance_diff(img, feats, A, ica, True) ** 2)
+
+    def loss_xla(img, feats):
+        return jnp.sum(E.apply_filter_chain(img, feats, A, ica) ** 2)
+
+    v_p, g_p = jax.value_and_grad(loss_pallas, argnums=(0, 1))(img, feats)
+    v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1))(img, feats)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=2e-5)
+    for gp, gx in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_module_trains():
+    """LowlightRecovery(impl='pallas') is differentiable end to end."""
+    import jax
+    module = E.LowlightRecovery(impl="pallas")
+    img, _, A, ica = _inputs(b=1)
+    v = module.init(jax.random.PRNGKey(0), img)
+
+    def loss(params):
+        out = module.apply({"params": params}, img, dedark_A=A, IcA=ica,
+                           train=True)
+        return jnp.mean((out - img) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
