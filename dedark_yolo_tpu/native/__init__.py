@@ -18,7 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).parent / "letterbox.cc"
+_SRCS = [Path(__file__).parent / "letterbox.cc",
+         Path(__file__).parent / "decode.cc"]
 _LIB_CACHE = Path(tempfile.gettempdir()) / "dedark_native"
 _lib = None
 _tried = False
@@ -27,10 +28,11 @@ _tried = False
 def _build():
     _LIB_CACHE.mkdir(parents=True, exist_ok=True)
     so = _LIB_CACHE / "libdedark_native.so"
-    if not so.is_file() or so.stat().st_mtime < _SRC.stat().st_mtime:
+    newest_src = max(s.stat().st_mtime for s in _SRCS)
+    if not so.is_file() or so.stat().st_mtime < newest_src:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(so), str(_SRC), "-lpthread"],
+             "-o", str(so)] + [str(s) for s in _SRCS] + ["-ljpeg", "-lpthread"],
             check=True, capture_output=True)
     return so
 
@@ -52,6 +54,22 @@ def _load():
             ctypes.c_int32,                                  # n_threads
         ]
         lib.letterbox_batch.restype = None
+        lib.decode_maxside_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int32,
+        ]
+        lib.decode_maxside_batch.restype = None
+        lib.decode_letterbox_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            ctypes.c_int32, ctypes.c_uint8,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int32,
+        ]
+        lib.decode_letterbox_batch.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -78,3 +96,42 @@ def letterbox_batch(images, size, fill=114, swap_rb=True, n_threads=0):
     lib.letterbox_batch(ptrs, np.ascontiguousarray(shapes), n, dst,
                         size, fill, 1 if swap_rb else 0, n_threads)
     return dst
+
+
+def _path_array(paths):
+    enc = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    return arr, enc  # keep enc alive
+
+
+def decode_maxside_batch(paths, size, bgr=True, n_threads=0):
+    """Decode JPEGs at the cheapest DCT scale + max-side resize to `size`.
+
+    Returns (imgs (N, size, size, 3) uint8 with each image top-left,
+    shapes (N, 4) int32 [loaded_h, loaded_w, orig_h, orig_w]; zeros on a
+    per-image decode failure)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode unavailable (no compiler?)")
+    n = len(paths)
+    dst = np.empty((n, size, size, 3), np.uint8)
+    shapes = np.zeros((n, 4), np.int32)
+    arr, _keep = _path_array(paths)
+    lib.decode_maxside_batch(arr, n, dst, size, 1 if bgr else 0, shapes,
+                             n_threads)
+    return dst, shapes
+
+
+def decode_letterbox_batch(paths, size, fill=114, n_threads=0):
+    """Decode JPEGs + letterbox to a device-ready (N, size, size, 3) RGB batch.
+
+    Returns (batch, orig_shapes (N, 2) int32 [h0, w0]; zeros on failure)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decode unavailable (no compiler?)")
+    n = len(paths)
+    dst = np.empty((n, size, size, 3), np.uint8)
+    shapes = np.zeros((n, 2), np.int32)
+    arr, _keep = _path_array(paths)
+    lib.decode_letterbox_batch(arr, n, dst, size, fill, shapes, n_threads)
+    return dst, shapes

@@ -17,36 +17,14 @@
 #include <thread>
 #include <vector>
 
+#include "resize.h"  // fixed-point bilinear shared with decode.cc
+
 namespace {
 
 inline void resize_bilinear_u8(const uint8_t* src, int sh, int sw,
                                uint8_t* dst, int dh, int dw, int channels) {
-  const float sy = static_cast<float>(sh) / dh;
-  const float sx = static_cast<float>(sw) / dw;
-  for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = static_cast<int>(std::floor(fy));
-    float wy = fy - y0;
-    int y1 = std::min(y0 + 1, sh - 1);
-    y0 = std::max(y0, 0);
-    for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = static_cast<int>(std::floor(fx));
-      float wx = fx - x0;
-      int x1 = std::min(x0 + 1, sw - 1);
-      x0 = std::max(x0, 0);
-      const uint8_t* p00 = src + (y0 * sw + x0) * channels;
-      const uint8_t* p01 = src + (y0 * sw + x1) * channels;
-      const uint8_t* p10 = src + (y1 * sw + x0) * channels;
-      const uint8_t* p11 = src + (y1 * sw + x1) * channels;
-      uint8_t* out = dst + (y * dw + x) * channels;
-      for (int c = 0; c < channels; ++c) {
-        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        out[c] = static_cast<uint8_t>(v + 0.5f);
-      }
-    }
-  }
+  dedark::resize_bilinear_u8(src, sh, sw, dst, dh, dw, channels,
+                             static_cast<size_t>(dw) * channels);
 }
 
 // One image: resize max-side to target keeping aspect, center-pad with `fill`,

@@ -1,0 +1,111 @@
+"""Real-image artifact run (BASELINE config 2/4 hybrid): train -> val the full
+dedark loop on bus.jpg derivatives.
+
+The only real photograph shipped offline is the reference repo's bus.jpg
+(read-only input; nothing is copied into this repo). We derive a labeled
+detection dataset from it: three fixed crops of the photo act as the three
+object classes, pasted at random positions/scales onto backgrounds tiled from
+other regions of the same photo — real textures everywhere, exact labels by
+construction. Training degrades inputs with img**dark_param and runs the full
+dedark stack (lowlight_FLAG + dedark_FLAG with computed dark-channel priors),
+i.e. the reference's low-light training loop (detect/train.py:70-111).
+
+Usage:
+    python scripts/realimage_run.py [--epochs 40] [--imgsz 320] [--out DIR]
+
+Writes runs + a summary line; see docs/REALIMAGE.md for the recorded result.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+BUS = Path("/root/reference/bus.jpg")
+
+# fixed crop windows (y0, y1, x0, x1) in the 1080x810 photo — three visually
+# distinct regions used as the three "object" classes
+CROPS = [(380, 560, 20, 140),    # person (left)
+         (360, 620, 660, 790),   # person (right)
+         (230, 420, 300, 560)]   # bus front section
+
+
+def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
+    import cv2
+    import yaml
+    img = cv2.imread(str(BUS))
+    assert img is not None, f"cannot read {BUS}"
+    crops = [img[y0:y1, x0:x1] for (y0, y1, x0, x1) in CROPS]
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    for split, n in (("train", n_train), ("val", n_val)):
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        for k in range(n):
+            # background: random window of the photo, resized to imgsz
+            bh = int(rng.integers(400, 900))
+            bw = int(rng.integers(300, 700))
+            y0 = int(rng.integers(0, 1080 - bh))
+            x0 = int(rng.integers(0, 810 - bw))
+            bg = cv2.resize(img[y0:y0 + bh, x0:x0 + bw], (imgsz, imgsz))
+            rows = []
+            for _ in range(int(rng.integers(1, 4))):
+                c = int(rng.integers(0, 3))
+                crop = crops[c]
+                scale = rng.uniform(0.35, 0.8) * imgsz / max(crop.shape[:2])
+                cw = max(int(crop.shape[1] * scale), 8)
+                ch = max(int(crop.shape[0] * scale), 8)
+                patch = cv2.resize(crop, (cw, ch))
+                px = int(rng.integers(0, imgsz - cw))
+                py = int(rng.integers(0, imgsz - ch))
+                bg[py:py + ch, px:px + cw] = patch
+                rows.append(f"{c} {(px + cw / 2) / imgsz:.6f} "
+                            f"{(py + ch / 2) / imgsz:.6f} "
+                            f"{cw / imgsz:.6f} {ch / imgsz:.6f}")
+            cv2.imwrite(str(root / "images" / split / f"{split}{k}.jpg"), bg)
+            (root / "labels" / split / f"{split}{k}.txt").write_text(
+                "\n".join(rows) + "\n")
+    data = {"path": str(root), "train": "images/train", "val": "images/val",
+            "nc": 3, "names": {0: "person_l", 1: "person_r", 2: "bus_front"}}
+    yp = root / "data.yaml"
+    yp.write_text(yaml.safe_dump(data, sort_keys=False))
+    return yp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--imgsz", type=int, default=320)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--dark", type=float, default=5.0)
+    ap.add_argument("--out", default="runs/realimage")
+    ap.add_argument("--model", default="tests/tiny_model.yaml")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from dedark_yolo_tpu import YOLO
+
+    out = Path(args.out)
+    yp = build_dataset(out / "data", imgsz=args.imgsz)
+    m = YOLO(args.model)
+    metrics = m.train(
+        data=str(yp), epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
+        lowlight_FLAG=True, dedark_FLAG=True, dark_param=args.dark,
+        prior_mode="computed", lrl=2.0, workers=4, max_boxes=16,
+        max_nms=512, max_det=30, plots=True, project=str(out), name="train",
+        patience=100)
+    print("FINAL", {k: round(float(v), 4) for k, v in metrics.items()
+                    if isinstance(v, (int, float, np.floating))})
+
+
+if __name__ == "__main__":
+    main()
