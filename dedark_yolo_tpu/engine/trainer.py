@@ -75,8 +75,10 @@ class BaseTrainer:
 
     def __init__(self, overrides=None, _callbacks=None):
         self.args = get_cfg(DEFAULT_CFG_DICT, overrides or {})
-        from ..utils.callbacks import get_default_callbacks
+        from ..utils.callbacks import (get_default_callbacks,
+                                       add_integration_callbacks)
         self.callbacks = _callbacks or get_default_callbacks()
+        add_integration_callbacks(self)  # JSONL metrics + TB when available
         self.run_callbacks = lambda event: [cb(self) for cb in
                                             self.callbacks.get(event, [])]
         # fork flags (reference trainer.py:73-78)

@@ -30,17 +30,43 @@ def get_default_callbacks():
 def add_integration_callbacks(instance):
     """Attach optional experiment-tracker integrations if importable.
 
-    The reference auto-appends 9 integrations (callbacks/base.py:191-212); here
-    TensorBoard is supported when the package exists, others no-op cleanly.
+    The reference auto-appends 9 integrations (callbacks/base.py:191-212).
+    Here: a JSONL metrics stream (always available, machine-readable
+    observability) + TensorBoard when the package exists; the other trackers
+    (wandb/mlflow/clearml/comet/dvc/neptune) are cloud services whose clients
+    are not installable offline — they would follow the same pattern: import
+    guard + hook registration.
     """
     callbacks = instance.callbacks
+
+    # JSONL metrics stream: one line per epoch under save_dir/metrics.jsonl
+    def jsonl_fit_epoch_end(trainer):
+        import json
+        import time as _t
+        rec = {"epoch": trainer.epoch, "ts": _t.time()}
+        for k, v in (trainer.metrics or {}).items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        try:
+            with open(trainer.save_dir / "metrics.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
+    callbacks["on_fit_epoch_end"].append(jsonl_fit_epoch_end)
+
     try:
         from torch.utils.tensorboard import SummaryWriter  # torch cpu is baked in
 
         state = {}
 
         def on_train_start(trainer):
-            state["writer"] = SummaryWriter(log_dir=str(trainer.save_dir / "tb"))
+            # gated like the run plots (reference gates via SETTINGS['tensorboard'])
+            if getattr(trainer.args, "plots", False):
+                state["writer"] = SummaryWriter(
+                    log_dir=str(trainer.save_dir / "tb"))
 
         def on_fit_epoch_end(trainer):
             w = state.get("writer")
