@@ -31,6 +31,8 @@ from test_torch_import import TConv, TC2f, TSPPF, TDetect
 
 IMGSZ = 256
 
+pytestmark = pytest.mark.slow
+
 
 # ----------------------------------------------------------- lowlight twin
 class TConvBlock(tnn.Module):

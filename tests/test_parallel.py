@@ -4,6 +4,7 @@ import importlib.util
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def test_grad_allreduce_semantics():
     assert g_sharded.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_multidevice_validation(tmp_path):
     """DetectionValidator shards val batches over a >1-device mesh and
     produces the same stats machinery as single-device (VERDICT round-1 #8)."""
@@ -72,6 +74,7 @@ def test_multidevice_validation(tmp_path):
     assert "metrics/mAP50(B)" in metrics and "fitness" in metrics
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     spec = importlib.util.spec_from_file_location(
         "graft_entry", Path(__file__).resolve().parents[1] / "__graft_entry__.py")

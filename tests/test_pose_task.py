@@ -56,6 +56,7 @@ def test_pose_data_pipeline(pose_dataset):
     assert batch["keypoints"].shape == (4, 8, 3, 3)
 
 
+@pytest.mark.slow
 def test_pose_training_and_val(pose_dataset, tmp_path):
     from dedark_yolo_tpu.engine.pose import PoseTrainer
     yp = tmp_path / "pose_tiny.yaml"

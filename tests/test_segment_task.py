@@ -78,6 +78,7 @@ def test_polygon2mask_overlap_order():
     assert m[4, 4] == 1
 
 
+@pytest.mark.slow
 def test_segment_training_and_val(seg_dataset, tmp_path):
     from dedark_yolo_tpu.engine.segment import SegmentationTrainer
     yaml_path = tmp_path / "seg_tiny.yaml"

@@ -101,6 +101,7 @@ def test_yolo_predict_classify(img_dir, tmp_path):
     np.testing.assert_allclose(p.data.sum(), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_yolo_val_segment(img_dir, tmp_path):
     """YOLO('...seg.yaml').val() routes to SegmentationValidator."""
     from dedark_yolo_tpu import YOLO
