@@ -36,7 +36,9 @@ def main():
     from dedark_yolo_tpu.ops.nms import non_max_suppression
 
     imgsz = 640
-    batch = 256  # throughput-optimal on v5e (sweep: b32 370, b64 443, b128 523, b256 571 img/s)
+    # throughput-optimal on v5e (round-2 sweep with the streaming one-pass
+    # enhance kernel: b256 585, b384 603, b448 570 img/s)
+    batch = 384
     warmup, iters = 2, 6
 
     d = model_yaml_load("yolov8l.yaml")  # flagship: lowlight_recovery + ASFF, L

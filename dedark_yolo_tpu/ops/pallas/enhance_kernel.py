@@ -1,12 +1,15 @@
 """Fused lowlight-recovery filter chain as Pallas TPU kernels.
 
-Two kernels, dispatched by VMEM fit (f32 throughout — the DeDark division by
-tx >= 0.01 and gamma exponent up to 3 amplify storage error, so bf16 staging
-visibly perturbs the output):
+Two kernels, dispatched by VMEM fit. The STAGING dtype follows the image:
+f32 inputs stage f32 (point math is sensitive — the DeDark division by
+tx >= 0.01 and gamma exponents up to 3 amplify storage error); bf16 inputs
+stage bf16 (halves VMEM/HBM bytes — at bf16 the input itself already bounds
+precision, and the in-kernel point math still runs f32):
 
-  - `_full_kernel`: the whole 5-filter chain (DeDark -> WB -> Gamma -> Contrast
-    -> USM 25-tap separable Gaussian) in ONE VMEM-resident pass per image — the
-    image is read from HBM once and written once.
+  - `_make_full_kernel(T, ...)`: the whole 5-filter chain (DeDark -> WB ->
+    Gamma -> Contrast -> USM 25-tap separable Gaussian) in ONE VMEM-resident
+    pass per image with T static column tiles — the image is read from HBM
+    once and written once; covers 640px in bf16 (T=4).
   - `_usm_kernel`: blur+sharpen only; the point chain runs in XLA (which fuses
     it into a single HBM pass anyway) and the kernel removes the two extra
     conv_h/conv_v HBM round trips.
@@ -58,47 +61,101 @@ def banded_blur_matrices(h, w):
     return kv, kh
 
 
-def _point_chain_into(params_ref, img_ref, ica_ref, i, y_ref):
-    """DeDark -> WB -> Gamma -> Contrast, written into y_ref (3, hp, wp).
-
-    Channels are stored into the scratch ref eagerly so at most one full plane
-    SSA value is live at a time."""
-    dd_w = params_ref[i, 0]
-    gamma = params_ref[i, 7]
-    contrast_p = params_ref[i, 8]
-    for c in range(3):
-        a_c = params_ref[i, 1 + c]
-        wb_c = params_ref[i, 4 + c]
-        xc = img_ref[0, c]
-        inv_tx = 1.0 / jnp.maximum(1.0 - dd_w * ica_ref[0], 0.01)
-        dd = (xc - a_c) * inv_tx + a_c
-        wbv = dd * wb_c
-        y_ref[c] = jnp.exp(gamma * jnp.log(jnp.maximum(wbv, 1e-4)))
-    lum = jnp.clip(0.27 * y_ref[0] + 0.67 * y_ref[1] + 0.06 * y_ref[2], 0.0, 1.0)
-    scale = ((1.0 - contrast_p) +
-             contrast_p * ((-jnp.cos(math.pi * lum) * 0.5 + 0.5) / (lum + 1e-6)))
-    for c in range(3):
-        y_ref[c] = y_ref[c] * scale
-
-
 def _blur_sharpen(yc, kv, kh, usm_s, h, w):
-    """MXU separable blur + unsharp on a padded plane value (hp, wp) -> (h, w)."""
-    htmp = jnp.dot(yc, kh, preferred_element_type=jnp.float32)      # (hp, w)
-    blur = jnp.dot(kv, htmp, preferred_element_type=jnp.float32)    # (h, w)
-    center = yc[PAD:PAD + h, PAD:PAD + w]
+    """MXU separable blur + unsharp on a padded plane value (hp, wp) -> (h, w).
+
+    Accepts f32 or bf16 planes/operators; matmuls accumulate in f32 either way
+    (bf16 x bf16 -> f32 is the MXU-native form)."""
+    htmp = jnp.dot(yc, kh.astype(yc.dtype),
+                   preferred_element_type=jnp.float32).astype(yc.dtype)
+    blur = jnp.dot(kv.astype(yc.dtype), htmp,
+                   preferred_element_type=jnp.float32)              # (h, w)
+    center = yc[PAD:PAD + h, PAD:PAD + w].astype(jnp.float32)
     return (center - blur) * usm_s + center
 
 
-def _full_kernel(params_ref, kv_ref, kh_ref, img_ref, ica_ref, out_ref, y_ref):
-    """Whole chain. img_ref: (1, 3, hp, wp) padded; out_ref: (1, 3, h, w);
-    params_ref: full (B, 16) SMEM array indexed by program_id."""
-    h, w = out_ref.shape[2], out_ref.shape[3]
-    i = pl.program_id(0)
-    usm_s = params_ref[i, 9]
-    _point_chain_into(params_ref, img_ref, ica_ref, i, y_ref)
-    for c in range(3):
-        out_ref[0, c] = _blur_sharpen(y_ref[c], kv_ref[...], kh_ref[...],
-                                      usm_s, h, w)
+def _make_full_kernel(T, h, w):
+    """Streaming one-pass chain kernel with T static column tiles.
+
+    Planes are stored TRANSPOSED — (W, H): image columns on sublanes, rows on
+    lanes — so the per-tile DMA slices cut the SUBLANE dim (8-aligned; lane-dim
+    DMA slices must be 128-aligned, which arbitrary tile widths are not).
+    img/ica/out all stay in HBM (memory_space=ANY) and tiles stream through
+    VMEM scratch with explicit DMAs: Mosaic double-buffers BLOCKED operands
+    across grid steps, which blew the 16M VMEM at 640px (19.3M scoped) with
+    whole-image blocks. fori_loops everywhere — unrolled Python loops stack
+    every iteration's temps on Mosaic's allocation stack.
+
+    Blur in this layout: htmp = K_w @ Y_tile, blur = htmp @ K_v2 with
+    K_w (tw, twp) banded over the tile's padded columns and K_v2 (hp, h)
+    banded over padded rows. The tile point chain recomputes the 2*PAD
+    column overlap (elementwise — cheap)."""
+    tw = w // T
+    twp = tw + 2 * PAD
+
+    def kernel(params_ref, kw_ref, kv2_ref, img_hbm, ica_hbm, out_hbm,
+               y_ref, xt_ref, it_ref, rt_ref, sem_x, sem_i, sem_o):
+        i = pl.program_id(0)
+        dd_w = params_ref[i, 0]
+        gamma = params_ref[i, 7]
+        p_con = params_ref[i, 8]
+        usm_s = params_ref[i, 9]
+        dt = y_ref.dtype
+        rows = slice(None)
+
+        def tile_body(j, carry):
+            c0 = j * tw
+            dma_i = pltpu.make_async_copy(
+                ica_hbm.at[i, pl.dslice(c0, twp), rows], it_ref, sem_i)
+            dma_i.start()
+            dma_i.wait()
+
+            def point_body(c, carry2):
+                a_c = params_ref[i, 1 + c]
+                wb_c = params_ref[i, 4 + c]
+                dma_x = pltpu.make_async_copy(
+                    img_hbm.at[i, c, pl.dslice(c0, twp), rows], xt_ref, sem_x)
+                dma_x.start()
+                dma_x.wait()
+                xc = xt_ref[...].astype(jnp.float32)
+                ica = it_ref[...].astype(jnp.float32)
+                tx = jnp.maximum(1.0 - dd_w * ica, 0.01)
+                v = (xc - a_c) / tx + a_c
+                v = v * wb_c
+                v = jnp.exp(gamma * jnp.log(jnp.maximum(v, 1e-4)))
+                y_ref[c, rows, rows] = v.astype(dt)
+                return carry2
+
+            jax.lax.fori_loop(0, 3, point_body, 0, unroll=False)
+            lum = jnp.clip(0.27 * y_ref[0].astype(jnp.float32)
+                           + 0.67 * y_ref[1].astype(jnp.float32)
+                           + 0.06 * y_ref[2].astype(jnp.float32), 0.0, 1.0)
+            scale = ((1.0 - p_con) + p_con *
+                     ((-jnp.cos(math.pi * lum) * 0.5 + 0.5) / (lum + 1e-6))
+                     ).astype(dt)
+
+            def blur_body(c, carry2):
+                yc = (y_ref[c, rows, rows].astype(jnp.float32)
+                      * scale.astype(jnp.float32)).astype(dt)   # (twp, hp)
+                htmp = jnp.dot(kw_ref[...], yc,
+                               preferred_element_type=jnp.float32).astype(dt)
+                blur = jnp.dot(htmp, kv2_ref[...],
+                               preferred_element_type=jnp.float32)  # (tw, h)
+                center = yc[PAD:PAD + tw, PAD:PAD + h].astype(jnp.float32)
+                rt_ref[...] = ((center - blur) * usm_s
+                               + center).astype(rt_ref.dtype)
+                dma_o = pltpu.make_async_copy(
+                    rt_ref, out_hbm.at[i, c, pl.dslice(c0, tw), rows], sem_o)
+                dma_o.start()
+                dma_o.wait()
+                return carry2
+
+            jax.lax.fori_loop(0, 3, blur_body, 0, unroll=False)
+            return carry
+
+        jax.lax.fori_loop(0, T, tile_body, 0, unroll=False)
+
+    return kernel
 
 
 def _usm_kernel(params_ref, kv_ref, kh_ref, y_in_ref, out_ref):
@@ -106,17 +163,41 @@ def _usm_kernel(params_ref, kv_ref, kh_ref, y_in_ref, out_ref):
     h, w = out_ref.shape[2], out_ref.shape[3]
     usm_s = params_ref[pl.program_id(0), 9]
     out_ref[0, 0] = _blur_sharpen(y_in_ref[0, 0], kv_ref[...], kh_ref[...],
-                                  usm_s, h, w)
+                                  usm_s, h, w).astype(out_ref.dtype)
 
 
-def _fits_full(h, w):
-    hp, wp = h + 2 * PAD, w + 2 * PAD
-    need = (3 * hp * wp * 4 * 2    # img block + y scratch
-            + hp * wp * 4          # ica
-            + 3 * h * w * 4        # out
-            + (h * hp + wp * w) * 4  # banded operators
-            + 3 * hp * wp * 4)     # live SSA temps (point chain + matmul out)
-    return need <= _VMEM_BUDGET
+def _tile_estimate(h, w, T, itemsize):
+    """Scoped-VMEM estimate of the T-tiled streaming kernel: image/ica/out
+    live in HBM, so VMEM holds only the operators, the tile scratch and the
+    loop body's f32 transients."""
+    hp = h + 2 * PAD
+    tw = w // T
+    twp = tw + 2 * PAD
+    return (tw * twp * itemsize          # K_w
+            + hp * h * itemsize          # K_v2
+            + 3 * twp * hp * itemsize    # y tiles
+            + 2 * twp * hp * itemsize    # img + ica tiles
+            + tw * h * itemsize          # result tile
+            + 2 * twp * hp * 4)          # live f32 planes in the loop body
+
+
+def _pick_tiles(h, w, itemsize):
+    """Fewest column tiles whose VMEM estimate fits (bigger tiles = fewer
+    DMAs and larger MXU matmuls), or None. Tile width must be a sublane
+    multiple (8) for the DMA slice alignment."""
+    for T in (1, 2, 4, 5, 8, 10, 16):
+        if w % T:
+            continue
+        tw = w // T
+        if tw % 8:
+            continue
+        if tw >= 2 * PAD and _tile_estimate(h, w, T, itemsize) <= _VMEM_BUDGET:
+            return T
+    return None
+
+
+def _fits_full(h, w, itemsize=4):
+    return _pick_tiles(h, w, itemsize) is not None
 
 
 def _fits_usm(h, w):
@@ -135,45 +216,74 @@ def _param_vec(features, dedark_A):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_enhance_pallas(img, features, dedark_A, IcA, interpret=False):
-    """Single-pass full chain. img: (B, H, W, 3) in [0,1]."""
-    b, h, w, _ = img.shape
-    pvec = _param_vec(features, dedark_A)
-    x = jnp.transpose(img, (0, 3, 1, 2)).astype(jnp.float32)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
-    ica = jnp.transpose(IcA, (0, 3, 1, 2))[:, 0].astype(jnp.float32)
-    icap = jnp.pad(ica, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
-    hp, wp = h + 2 * PAD, w + 2 * PAD
-    kv, kh = banded_blur_matrices(h, w)
+    """Single-pass full chain. img: (B, H, W, 3) in [0,1].
 
+    Staging dtype follows the image: f32 inputs stage f32; bf16 inputs stage
+    bf16 (half the VMEM — the one-pass kernel then fits 640px, removing the
+    two-stage path's extra point-chain/transpose HBM round trips; point math
+    still runs f32 in-kernel)."""
+    b, h, w, _ = img.shape
+    dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+    pvec = _param_vec(features, dedark_A)
+    # TRANSPOSED planes (B, 3, W, H): tile DMAs slice the sublane dim (see
+    # _make_full_kernel). The minor (lane) dim is zero-padded up to a 128
+    # multiple so HBM storage is tile-exact — DMA slices of a non-storage-
+    # aligned minor dim are rejected by Mosaic.
+    hp = h + 2 * PAD
+    h_al = -(-h // 128) * 128        # out minor dim, storage-aligned
+    hp_al = -(-max(hp, PAD + h_al) // 128) * 128  # in minor dim, covers center
+    x = jnp.transpose(img, (0, 3, 2, 1)).astype(dt)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, hp_al - hp)))
+    ica = jnp.transpose(IcA, (0, 3, 2, 1))[:, 0].astype(dt)
+    icap = jnp.pad(ica, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
+    icap = jnp.pad(icap, ((0, 0), (0, 0), (0, hp_al - hp)))
+    itemsize = 2 if dt == jnp.bfloat16 else 4
+    T = _pick_tiles(h, w, itemsize)
+    assert T is not None, f"one-pass kernel does not fit VMEM at {h}x{w}/{dt}"
+    tw = w // T
+    twp = tw + 2 * PAD
+    # banded operators for the transposed layout: K_w (tw, twp) over the
+    # tile's padded columns (identical for every tile — the DMA aligns the
+    # support), K_v2 (hp_al, h_al) over padded rows, zero beyond the real
+    # support; banded_blur_matrices gives these for (h=tw, w=h)
+    kw, kv2 = banded_blur_matrices(tw, h)
+    kv2 = np.pad(kv2, ((0, hp_al - hp), (0, h_al - h)))
     out = pl.pallas_call(
-        _full_kernel,
+        _make_full_kernel(T, h_al, w),   # kernel works in the aligned frame
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # (B, 16) params
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # K_v (h, hp)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # K_h (wp, w)
-            pl.BlockSpec((1, 3, hp, wp), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # K_w (tw, twp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # K_v2 (hp_al, h_al)
+            pl.BlockSpec(memory_space=pl.ANY),       # img stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # ica stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3, hp, wp), jnp.float32)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out stays in HBM
+        out_shape=jax.ShapeDtypeStruct((b, 3, w, h_al), dt),
+        scratch_shapes=[pltpu.VMEM((3, twp, hp_al), dt),   # y tiles
+                        pltpu.VMEM((twp, hp_al), dt),      # img tile
+                        pltpu.VMEM((twp, hp_al), dt),      # ica tile
+                        pltpu.VMEM((tw, h_al), dt),        # result tile
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(pvec, jnp.asarray(kv), jnp.asarray(kh), xp, icap)
-    return jnp.transpose(out, (0, 2, 3, 1)).astype(img.dtype)
+    )(pvec, jnp.asarray(kw, dt), jnp.asarray(kv2, dt), xp, icap)
+    return jnp.transpose(out[:, :, :, :h], (0, 3, 2, 1)).astype(img.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def usm_pallas(y, usm_param, interpret=False):
     """Pallas blur+sharpen for the two-stage path. y: (B, H, W, 3) point-filtered;
-    usm_param: (B, 1)."""
+    usm_param: (B, 1). Stages in y's dtype — bf16 inputs move half the HBM
+    bytes through the transpose/pad/kernel passes (matmuls still accumulate
+    f32 on the MXU)."""
     b, h, w, _ = y.shape
+    dt = y.dtype if y.dtype == jnp.bfloat16 else jnp.float32
     pvec = jnp.zeros((b, 16), jnp.float32).at[:, 9].set(
         usm_param[:, 0].astype(jnp.float32))
-    x = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
+    x = jnp.transpose(y, (0, 3, 1, 2)).astype(dt)
     xp = jnp.pad(x, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
     hp, wp = h + 2 * PAD, w + 2 * PAD
     kv, kh = banded_blur_matrices(h, w)
@@ -190,16 +300,17 @@ def usm_pallas(y, usm_param, interpret=False):
         ],
         out_specs=pl.BlockSpec((1, 1, h, w), lambda i, c: (i, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), dt),
         interpret=interpret,
-    )(pvec, jnp.asarray(kv), jnp.asarray(kh), xp)
+    )(pvec, jnp.asarray(kv, dt), jnp.asarray(kh, dt), xp)
     return jnp.transpose(out, (0, 2, 3, 1)).astype(y.dtype)
 
 
 def fused_enhance(img, features, dedark_A, IcA, interpret=False):
     """Dispatch by VMEM fit; always matches nn/enhance.apply_filter_chain."""
     b, h, w, _ = img.shape
-    if _fits_full(h, w):
+    itemsize = 2 if img.dtype == jnp.bfloat16 else 4
+    if _fits_full(h, w, itemsize):
         return fused_enhance_pallas(img, features, dedark_A, IcA,
                                     interpret=interpret)
     if _fits_usm(h, w):

@@ -53,8 +53,13 @@ def test_dispatch_matches_everywhere():
 
 
 def test_vmem_gates():
+    from dedark_yolo_tpu.ops.pallas.enhance_kernel import _pick_tiles
     assert _fits_full(448, 448)
-    assert not _fits_full(640, 640)   # 640 uses the two-stage path
+    # the streaming kernel (HBM-resident image, DMA'd column tiles) covers
+    # 640 and beyond in both dtypes
+    assert _fits_full(640, 640)
+    assert _pick_tiles(640, 640, 2) == 1      # bf16: whole-width tile
+    assert _pick_tiles(1280, 1280, 4) is not None
     assert _fits_usm(640, 640)
     assert not _fits_usm(2048, 2048)  # falls back to pure JAX
 
