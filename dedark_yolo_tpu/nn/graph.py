@@ -70,7 +70,7 @@ _C2F_FAMILY = {
     "SCC2f": "scconv", "SC_PW_C2f": "sc_pw", "SC_Conv3_C2f": "sc_conv3",
     "Conv3_SC_C2f": "conv3_sc", "SC_PW_PW_C2f": "sc_pw_pw",
 }
-_HEADS = {"Detect", "AsffDetect", "Segment", "Pose"}
+_HEADS = {"Detect", "AsffDetect", "Segment", "Pose", "RTDETRDecoder"}
 # spatial stride multiplier contributed by a module (static)
 _STRIDE2 = {"Focus", "HGStem"}
 
@@ -296,6 +296,16 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
         ha = head.get("args", ())
         kpt = tuple(ha[1]) if len(ha) > 1 and ha[1] else (17, 3)
         return Pose(nc=head["nc"], kpt_shape=kpt, strides=head["strides"])
+    if name == "RTDETRDecoder":
+        from .heads import RTDETRDecoder
+        # optional yaml args beyond nc: [nc, hd, nq, ndl] (reference signature
+        # order head.py:266-283; only nc appears in the stock yaml)
+        ha = list(head.get("args", ()))
+        return RTDETRDecoder(nc=head["nc"],
+                             hd=ha[1] if len(ha) > 1 else 256,
+                             nq=ha[2] if len(ha) > 2 else 300,
+                             ndl=ha[3] if len(ha) > 3 else 6,
+                             strides=head["strides"])
     if name in ("nn.Upsample", "Concat", "nn.BatchNorm2d"):
         return None  # functional
     raise NotImplementedError(f"no builder for module '{name}'")
@@ -408,6 +418,11 @@ class DetectionModel:
             return raw
         if self.task == "classify":
             return jax.nn.softmax(raw, axis=-1)
+        if self.head["name"] == "RTDETRDecoder":
+            # NMS-free queries: normalized cxcywh + already-sigmoid scores
+            h, w = x.shape[1], x.shape[2]
+            scale = jnp.asarray([w, h, w, h], raw.dtype)
+            return raw[..., :4] * scale, raw[..., 4:]
         return decode_detections(raw, self.nc, self.strides, self.reg_max)
 
     def num_params(self, variables):

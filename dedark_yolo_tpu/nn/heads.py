@@ -141,6 +141,127 @@ class Pose(nn.Module):
         return det, kpts
 
 
+class RTDETRDecoder(nn.Module):
+    """RT-DETR decoder head (reference head.py:263-457).
+
+    Projects the FPN levels to a shared hidden dim, scores every spatial
+    position with an encoder head, selects the top-nq positions as object
+    queries, and refines their boxes through ndl deformable-attention decoder
+    layers (transformer.py:330-378 folded in here — the per-layer refinement
+    heads belong to this module in the reference too, head.py:319-320).
+
+    Returns (B, nq, 4 + nc): normalized cxcywh boxes + sigmoid class scores —
+    NMS-free. The reference's own RT-DETR path cannot execute (head.py:325
+    imports the missing `ultralytics.models.utils`); this one runs. The
+    contrastive-denoising training branch (get_cdn_group) lives in that missing
+    module and is therefore N/A; training-mode forward here behaves like eval
+    without denoising queries.
+
+    Deviation (documented): reference _generate_anchors normalizes grid x by h
+    and y by w (head.py:368-369, valid_WH = [h, w]) — a transposition that is
+    invisible on square maps but wrong on rectangular ones; we normalize
+    x/w, y/h.
+    """
+    nc: int = 80
+    hd: int = 256       # hidden dim
+    nq: int = 300       # queries (clamped to the anchor count for tiny inputs)
+    ndp: int = 4        # decoder sampling points
+    nh: int = 8         # attention heads
+    ndl: int = 6        # decoder layers
+    d_ffn: int = 1024
+    eval_idx: int = -1
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        from .transformer import (DeformableTransformerDecoderLayer,
+                                  inverse_sigmoid)
+        nl = len(xs)
+        b = xs[0].shape[0]
+        bias_cls = float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc
+
+        # backbone feature projection: 1x1 conv (no bias) + BN per level
+        # (reference head.py:293)
+        feats = []
+        for i, x in enumerate(xs):
+            p = nn.Conv(self.hd, (1, 1), use_bias=False,
+                        name=f"input_proj_{i}_conv")(x)
+            # plain nn.BatchNorm2d defaults (head.py:293), not YOLO's tuned BN
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"input_proj_{i}_bn")(p)
+            feats.append(p)
+        seq = jnp.concatenate([f.reshape(b, -1, self.hd) for f in feats], 1)
+
+        # static anchors, one per spatial position (reference head.py:360-377)
+        anchors, valid = [], []
+        eps = 1e-2
+        for i, f in enumerate(feats):
+            h, w = f.shape[1], f.shape[2]
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  indexing="ij")
+            xy = jnp.stack([(gx + 0.5) / w, (gy + 0.5) / h], -1)
+            wh = jnp.full_like(xy, 0.05 * (2.0 ** i))
+            anchors.append(jnp.concatenate([xy, wh], -1).reshape(-1, 4))
+        anchors = jnp.concatenate(anchors, 0)[None]            # (1, N, 4)
+        valid = jnp.all((anchors > eps) & (anchors < 1 - eps), -1,
+                        keepdims=True)
+        anchors = jnp.where(valid, inverse_sigmoid(anchors), jnp.inf)
+
+        # encoder head scores every position (reference head.py:396-421)
+        features = nn.Dense(self.hd, name="enc_output_0")(
+            seq * valid.astype(seq.dtype))
+        features = nn.LayerNorm(name="enc_output_1")(features)
+        enc_scores = nn.Dense(self.nc,
+                              bias_init=nn.initializers.constant(bias_cls),
+                              name="enc_score_head")(features)
+        y = jax.nn.relu(nn.Dense(self.hd, name="enc_bbox_head_0")(features))
+        y = jax.nn.relu(nn.Dense(self.hd, name="enc_bbox_head_1")(y))
+        y = nn.Dense(4, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     name="enc_bbox_head_2")(y)
+        enc_bboxes = y + anchors                               # unsigmoided
+
+        # top-k query selection by best class score
+        nq = min(self.nq, seq.shape[1])
+        _, topk = jax.lax.top_k(enc_scores.max(-1), nq)        # (B, nq)
+        refer = jnp.take_along_axis(enc_bboxes, topk[..., None], axis=1)
+        embed = jnp.take_along_axis(features, topk[..., None], axis=1)
+        if train:  # static content queries detach from the encoder
+            refer = jax.lax.stop_gradient(refer)
+            embed = jax.lax.stop_gradient(embed)
+        refer = jax.nn.sigmoid(refer)
+
+        # iterative refinement decoder; query_pos_head is SHARED across layers
+        # (reference head.py:311 — one MLP instance)
+        qp0 = nn.Dense(2 * self.hd, name="query_pos_head_0")
+        qp1 = nn.Dense(self.hd, name="query_pos_head_1")
+        eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
+        out_bbox = out_cls = None
+        output = embed
+        for i in range(self.ndl):
+            qp = qp1(jax.nn.relu(qp0(refer)))
+            output = DeformableTransformerDecoderLayer(
+                self.hd, self.nh, self.d_ffn, nl, self.ndp,
+                name=f"decoder_layer_{i}")(
+                output, refer, feats, query_pos=qp, train=train)
+            y = jax.nn.relu(nn.Dense(self.hd, name=f"dec_bbox_head_{i}_0")(output))
+            y = jax.nn.relu(nn.Dense(self.hd, name=f"dec_bbox_head_{i}_1")(y))
+            y = nn.Dense(4, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name=f"dec_bbox_head_{i}_2")(y)
+            refined = jax.nn.sigmoid(y + inverse_sigmoid(refer))
+            if i == eval_idx:
+                out_bbox = refined
+                out_cls = nn.Dense(
+                    self.nc, bias_init=nn.initializers.constant(bias_cls),
+                    name=f"dec_score_head_{i}")(output)
+                if not train:
+                    break
+            refer = jax.lax.stop_gradient(refined) if train else refined
+        return jnp.concatenate([out_bbox, jax.nn.sigmoid(out_cls)], -1)
+
+
 def decode_keypoints(kpt_maps: Sequence[jnp.ndarray], strides: Sequence[int],
                      kpt_shape=(17, 3)):
     """Decode raw kpt maps -> (B, N, nk, 3) in pixels (reference head.py kpts_decode):

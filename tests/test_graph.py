@@ -87,7 +87,8 @@ def test_conv2_and_fc_modules():
 
 VARIANTS = ["yolov8-mfru-rbf-asff.yaml", "yolov8-faster.yaml",
             "yolov8-faster-twohead.yaml", "yolov8-p2.yaml", "yolov8-p6.yaml",
-            "yolov8-rbf.yaml", "yolov8-cls.yaml"]
+            "yolov8-rbf.yaml", "yolov8-cls.yaml", "yolov8-asff-threehead.yaml",
+            "yolov8-pose-p6.yaml", "yolov8-rtdetr.yaml"]
 
 
 @pytest.mark.parametrize("name", VARIANTS)
