@@ -87,4 +87,128 @@ def add_integration_callbacks(instance):
         callbacks["on_train_end"].append(on_train_end)
     except Exception:
         pass
+
+    for register in _TRACKERS:
+        try:
+            register(callbacks)
+        except Exception:   # tracker not installed / import-time failure
+            pass
     return callbacks
+
+
+def _clean_metrics(trainer):
+    out = {}
+    for k, v in (trainer.metrics or {}).items():
+        try:
+            out[k.replace("(", "").replace(")", "")] = float(v)
+        except (TypeError, ValueError):
+            pass
+    return out
+
+
+def _register_wandb(callbacks):
+    """Weights & Biases (reference callbacks/wb.py pattern: init run on
+    pretrain start, log per fit-epoch, finish on train end)."""
+    import wandb
+
+    def start(trainer):
+        if wandb.run is None:
+            wandb.init(project=str(getattr(trainer.args, "project", None)
+                                   or "dedark-yolo-tpu"),
+                       name=str(getattr(trainer.args, "name", None) or None),
+                       config=dict(vars(trainer.args)))
+
+    def epoch_end(trainer):
+        if wandb.run:
+            wandb.log(_clean_metrics(trainer), step=trainer.epoch + 1)
+
+    def end(trainer):
+        if wandb.run:
+            wandb.finish()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+def _register_mlflow(callbacks):
+    """MLflow (reference callbacks/mlflow.py pattern)."""
+    import mlflow
+
+    def start(trainer):
+        mlflow.start_run(run_name=str(getattr(trainer.args, "name", None)
+                                      or "train"))
+        mlflow.log_params({k: str(v) for k, v in vars(trainer.args).items()})
+
+    def epoch_end(trainer):
+        mlflow.log_metrics(_clean_metrics(trainer), step=trainer.epoch + 1)
+
+    def end(trainer):
+        mlflow.end_run()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+def _register_clearml(callbacks):
+    """ClearML (reference callbacks/clearml.py pattern)."""
+    from clearml import Task
+
+    state = {}
+
+    def start(trainer):
+        state["task"] = Task.init(
+            project_name=str(getattr(trainer.args, "project", None)
+                             or "dedark-yolo-tpu"),
+            task_name=str(getattr(trainer.args, "name", None) or "train"))
+        state["task"].connect(dict(vars(trainer.args)))
+
+    def epoch_end(trainer):
+        t = state.get("task")
+        if t:
+            for k, v in _clean_metrics(trainer).items():
+                t.get_logger().report_scalar("train", k, v, trainer.epoch + 1)
+
+    def end(trainer):
+        t = state.pop("task", None)
+        if t:
+            t.close()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+def _register_dvclive(callbacks):
+    """DVCLive (reference callbacks/dvc.py pattern)."""
+    import dvclive
+
+    state = {}
+
+    def start(trainer):
+        state["live"] = dvclive.Live(str(trainer.save_dir / "dvc"),
+                                     save_dvc_exp=False)
+
+    def epoch_end(trainer):
+        live = state.get("live")
+        if live:
+            for k, v in _clean_metrics(trainer).items():
+                live.log_metric(k, v)
+            live.next_step()
+
+    def end(trainer):
+        live = state.pop("live", None)
+        if live:
+            live.end()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+# import-guarded tracker registrars, appended in reference order
+# (callbacks/base.py:191-212); each silently skips when its client package is
+# absent, exactly like the reference's try/except ImportError modules
+_TRACKERS = (_register_wandb, _register_mlflow, _register_clearml,
+             _register_dvclive)
