@@ -118,8 +118,15 @@ class DetectionPredictor:
                     enhanced = jax.tree_util.tree_leaves(inter)[0]
                 else:
                     raw = model.module.apply(variables, img, train=False)
-                b, s = decode_detections(raw, model.nc, model.strides,
-                                         model.reg_max)
+                if model.head["name"] == "RTDETRDecoder":
+                    # NMS-free queries (B, nq, 4+nc): normalized cxcywh to
+                    # pixels; scores already sigmoid
+                    h, w = img.shape[1], img.shape[2]
+                    scale = jnp.asarray([w, h, w, h], raw.dtype)
+                    b, s = raw[..., :4] * scale, raw[..., 4:]
+                else:
+                    b, s = decode_detections(raw, model.nc, model.strides,
+                                             model.reg_max)
                 boxes_l.append(b)
                 scores_l.append(s)
             # candidate-level merge across members (reference Ensemble cat dim 1)

@@ -520,7 +520,8 @@ class DetectionTrainer(BaseTrainer):
             variables = {"params": params, "batch_stats": batch_stats}
             raw, new_stats = model.apply_train(variables, img, dedark_A, IcA)
             if use_bf16:
-                raw = [r.astype(jnp.float32) for r in raw]  # loss math in f32
+                raw = jax.tree_util.tree_map(
+                    lambda r: r.astype(jnp.float32), raw)   # loss math in f32
             lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
                       "mask_gt": batch["mask_gt"]}
             # recovery loss: model's enhanced output vs clean target would need
@@ -528,8 +529,12 @@ class DetectionTrainer(BaseTrainer):
             # computed in preprocess (detect/train.py:108) — same here.
             lbatch["recovery_loss"] = jnp.mean(
                 (img.astype(jnp.float32) - clean.astype(jnp.float32)) ** 2)
-            total, items = detection_loss(raw, lbatch, nc=nc, strides=strides,
-                                          hyp=hyp)
+            if isinstance(raw, dict):    # RT-DETR set-matching loss
+                from ..losses.rtdetr import rtdetr_loss
+                total, items = rtdetr_loss(raw, lbatch, nc=nc, hyp=hyp)
+            else:
+                total, items = detection_loss(raw, lbatch, nc=nc,
+                                              strides=strides, hyp=hyp)
             return total, (items, new_stats)
 
         return loss_fn

@@ -53,23 +53,37 @@ class DetectionValidator:
         max_det = int(a.max_det)
         max_nms = int(a.max_nms)
 
+        is_rtdetr = model.head["name"] == "RTDETRDecoder"
+
         def val_step(params, batch_stats, batch):
             img = batch["img"].astype(jnp.float32) / 255.0  # fp32 forced
             variables = {"params": params, "batch_stats": batch_stats}
             raw = model.module.apply(variables, img, train=False)
-            from ..nn.heads import decode_detections
-            boxes, scores = decode_detections(raw, model.nc, model.strides,
-                                              model.reg_max)
+            if is_rtdetr:
+                # NMS-free queries: (B, nq, 4+nc) normalized cxcywh + sigmoid
+                # scores; scale to pixels, NMS pass is a cheap no-op filter
+                h, w = img.shape[1], img.shape[2]
+                scale = jnp.asarray([w, h, w, h], raw.dtype)
+                boxes, scores = raw[..., :4] * scale, raw[..., 4:]
+            else:
+                from ..nn.heads import decode_detections
+                boxes, scores = decode_detections(raw, model.nc, model.strides,
+                                                  model.reg_max)
             dets, counts = non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 max_nms=max_nms, multi_label=True, agnostic=bool(a.agnostic_nms))
             out = {"dets": dets, "counts": counts}
             if with_loss:
-                lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
-                          "mask_gt": batch["mask_gt"]}
-                total, items = detection_loss(raw, lbatch, nc=model.nc,
-                                              strides=model.strides, hyp=hyp)
-                out["loss_items"] = jnp.stack(list(items))
+                if is_rtdetr:
+                    # per-layer aux outputs only exist in train-mode forward;
+                    # per-epoch val reports zero loss items for RT-DETR
+                    out["loss_items"] = jnp.zeros((3,), jnp.float32)
+                else:
+                    lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
+                              "mask_gt": batch["mask_gt"]}
+                    total, items = detection_loss(raw, lbatch, nc=model.nc,
+                                                  strides=model.strides, hyp=hyp)
+                    out["loss_items"] = jnp.stack(list(items))
             return out
 
         return jax.jit(val_step)

@@ -237,7 +237,7 @@ class RTDETRDecoder(nn.Module):
         qp0 = nn.Dense(2 * self.hd, name="query_pos_head_0")
         qp1 = nn.Dense(self.hd, name="query_pos_head_1")
         eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
-        out_bbox = out_cls = None
+        dec_bboxes, dec_logits = [], []
         output = embed
         for i in range(self.ndl):
             qp = qp1(jax.nn.relu(qp0(refer)))
@@ -251,15 +251,25 @@ class RTDETRDecoder(nn.Module):
                          bias_init=nn.initializers.zeros,
                          name=f"dec_bbox_head_{i}_2")(y)
             refined = jax.nn.sigmoid(y + inverse_sigmoid(refer))
-            if i == eval_idx:
-                out_bbox = refined
-                out_cls = nn.Dense(
-                    self.nc, bias_init=nn.initializers.constant(bias_cls),
-                    name=f"dec_score_head_{i}")(output)
-                if not train:
-                    break
+            # every layer's heads run in BOTH modes so the param tree is
+            # mode-independent (flax creates params only for executed modules);
+            # in eval XLA dead-code-eliminates layers past eval_idx
+            dec_bboxes.append(refined)
+            dec_logits.append(nn.Dense(
+                self.nc, bias_init=nn.initializers.constant(bias_cls),
+                name=f"dec_score_head_{i}")(output))
             refer = jax.lax.stop_gradient(refined) if train else refined
-        return jnp.concatenate([out_bbox, jax.nn.sigmoid(out_cls)], -1)
+        if train:
+            # per-layer aux outputs for the set-matching loss (losses/rtdetr.py);
+            # the encoder proposals train the query-selection head
+            return {"dec_bboxes": jnp.stack(dec_bboxes),
+                    "dec_logits": jnp.stack(dec_logits),
+                    "enc_bboxes": jnp.take_along_axis(
+                        jax.nn.sigmoid(enc_bboxes), topk[..., None], axis=1),
+                    "enc_logits": jnp.take_along_axis(
+                        enc_scores, topk[..., None], axis=1)}
+        return jnp.concatenate([dec_bboxes[eval_idx],
+                                jax.nn.sigmoid(dec_logits[eval_idx])], -1)
 
 
 def decode_keypoints(kpt_maps: Sequence[jnp.ndarray], strides: Sequence[int],

@@ -45,10 +45,13 @@ def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
         (root / "images" / split).mkdir(parents=True, exist_ok=True)
         (root / "labels" / split).mkdir(parents=True, exist_ok=True)
         for k in range(n):
-            # background: random window of the photo, resized to imgsz
-            bh = int(rng.integers(400, 900))
+            # background: random window of the OBJECT-FREE lower region of the
+            # photo (all crop windows lie above y=620) — windows overlapping
+            # the crop regions would contain unlabeled object copies, i.e.
+            # label noise that caps precision
+            bh = int(rng.integers(200, 450))
             bw = int(rng.integers(300, 700))
-            y0 = int(rng.integers(0, 1080 - bh))
+            y0 = int(rng.integers(625, 1080 - bh))
             x0 = int(rng.integers(0, 810 - bw))
             bg = cv2.resize(img[y0:y0 + bh, x0:x0 + bw], (imgsz, imgsz))
             rows = []
@@ -77,12 +80,12 @@ def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=80)
     ap.add_argument("--imgsz", type=int, default=320)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dark", type=float, default=5.0)
     ap.add_argument("--out", default="runs/realimage")
-    ap.add_argument("--model", default="tests/tiny_model.yaml")
+    ap.add_argument("--model", default="yolov8n-dedark.yaml")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

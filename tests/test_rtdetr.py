@@ -99,6 +99,115 @@ def test_rtdetr_model_end_to_end_decode():
     assert scores.shape == (1, 16, 4)
     b = np.asarray(boxes)
     assert np.all(b >= 0) and np.all(b <= 64)  # normalized cxcywh * imgsz
-    # train-mode forward also runs (BN stats mutate; no denoising branch)
+    # train-mode forward returns per-layer aux outputs for the matching loss
     raw, new_stats = m.apply_train(variables, x)
-    assert raw.shape == (1, 16, 8)
+    assert raw["dec_bboxes"].shape == (2, 1, 16, 4)   # (ndl, B, nq, 4)
+    assert raw["dec_logits"].shape == (2, 1, 16, 4)
+    assert raw["enc_bboxes"].shape == (1, 16, 4)
+    assert raw["enc_logits"].shape == (1, 16, 4)
+
+
+def test_greedy_assign_one_to_one_and_near_optimal():
+    from dedark_yolo_tpu.losses.rtdetr import greedy_assign
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(0)
+    cost = rng.uniform(0, 1, (3, 24, 6)).astype(np.float32)
+    mask = np.ones((3, 6), np.float32)
+    mask[1, 4:] = 0.0    # padded gts in one batch element
+    aq = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(mask)))
+    for b in range(3):
+        m = int(mask[b].sum())
+        real = aq[b, :m]
+        assert len(set(real.tolist())) == m    # one-to-one over real gts
+        greedy_cost = cost[b, real, np.arange(m)].sum()
+        r, c = scipy_opt.linear_sum_assignment(cost[b, :, :m].T)
+        opt = cost[b, c, r].sum()
+        assert greedy_cost <= opt * 1.25 + 1e-6
+    # diagonal-dominant instance: greedy IS optimal
+    strong = np.full((1, 8, 4), 5.0, np.float32)
+    for j in range(4):
+        strong[0, j, j] = 0.1 * (j + 1)
+    aq = np.asarray(greedy_assign(jnp.asarray(strong),
+                                  jnp.ones((1, 4), np.float32)))
+    assert aq[0].tolist() == [0, 1, 2, 3]
+
+
+def test_rtdetr_loss_grads_and_separation():
+    """Loss is finite, has gradients, and perfect predictions score lower."""
+    from dedark_yolo_tpu.losses.rtdetr import rtdetr_loss
+    rng = np.random.default_rng(4)
+    B, nq, nc, M, L = 2, 12, 3, 4, 2
+    gt_boxes = rng.uniform(0.2, 0.6, (B, M, 4)).astype(np.float32)
+    gt_cls = rng.integers(0, nc, (B, M)).astype(np.float32)
+    mask = np.ones((B, M), np.float32)
+    batch = {"cls": jnp.asarray(gt_cls), "bboxes": jnp.asarray(gt_boxes),
+             "mask_gt": jnp.asarray(mask)}
+
+    def outputs(boxes, logits):
+        return {"dec_bboxes": jnp.asarray(np.tile(boxes, (L, 1, 1, 1))),
+                "dec_logits": jnp.asarray(np.tile(logits, (L, 1, 1, 1))),
+                "enc_bboxes": jnp.asarray(boxes),
+                "enc_logits": jnp.asarray(logits)}
+
+    rand_out = outputs(rng.uniform(0.1, 0.9, (B, nq, 4)).astype(np.float32),
+                       rng.normal(0, 1, (B, nq, nc)).astype(np.float32))
+    total_rand, items = rtdetr_loss(rand_out, batch, nc)
+    assert np.isfinite(float(total_rand))
+    assert all(np.isfinite(float(v)) for v in items)
+
+    # perfect: first M queries carry gt boxes with +8 logit at the gt class
+    pb = rng.uniform(0.1, 0.9, (B, nq, 4)).astype(np.float32)
+    pl = np.full((B, nq, nc), -8.0, np.float32)
+    for b in range(B):
+        pb[b, :M] = gt_boxes[b]
+        for j in range(M):
+            pl[b, j, int(gt_cls[b, j])] = 8.0
+    total_perfect, _ = rtdetr_loss(outputs(pb, pl), batch, nc)
+    assert float(total_perfect) < 0.2 * float(total_rand)
+
+    g = jax.grad(lambda o: rtdetr_loss(o, batch, nc)[0])(rand_out)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_rtdetr_tiny_model_learns():
+    """Full model + matching loss: loss decreases under adam on one batch."""
+    import optax
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.losses.rtdetr import rtdetr_loss
+    d = {"nc": 2,
+         "backbone": [[-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [8, 3, 2]],
+                      [-1, 1, "Conv", [8, 3, 2]], [-1, 1, "Conv", [16, 3, 2]],
+                      [-1, 1, "Conv", [16, 3, 2]]],
+         "head": [[[2, 3, 4], 1, "RTDETRDecoder", ["nc", 32, 8, 2]]]}
+    m = DetectionModel(d)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    batch = {"cls": jnp.asarray(rng.integers(0, 2, (2, 3)).astype(np.float32)),
+             "bboxes": jnp.asarray(rng.uniform(0.3, 0.6, (2, 3, 4))
+                                   .astype(np.float32)),
+             "mask_gt": jnp.ones((2, 3), jnp.float32)}
+
+    def loss_fn(params, bs):
+        out, new_bs = m.apply_train({"params": params, "batch_stats": bs}, img)
+        total, _ = rtdetr_loss(out, batch, m.nc)
+        return total, new_bs
+
+    opt = optax.adam(1e-3)
+    params, bs = v["params"], v["batch_stats"]
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, bs, state):
+        (total, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, bs)
+        upd, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, upd), new_bs, state, total
+
+    first = None
+    for i in range(30):
+        params, bs, state, total = step(params, bs, state)
+        if first is None:
+            first = float(total)
+    assert float(total) < 0.7 * first, (first, float(total))
