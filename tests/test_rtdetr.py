@@ -170,6 +170,23 @@ def test_rtdetr_loss_grads_and_separation():
                for x in jax.tree_util.tree_leaves(g))
 
 
+def test_rtdetr_facade_predict_and_val(tmp_path):
+    """YOLO facade drives an RT-DETR model end to end (predict + val)."""
+    from synth import make_synth_dataset
+    from dedark_yolo_tpu import YOLO
+    yp = make_synth_dataset(tmp_path / "ds", n_train=2, n_val=2, imgsz=96)
+    m = YOLO("tests/tiny_rtdetr.yaml")
+    img = np.random.default_rng(6).integers(
+        0, 255, (96, 96, 3)).astype(np.uint8)
+    results = m.predict(img, imgsz=96, conf=0.05, max_nms=64, max_det=10,
+                        save=False, verbose=False)
+    assert len(results) == 1 and results[0].boxes is not None
+    metrics = m.val(data=str(yp), imgsz=96, batch=2, max_nms=64, max_det=10,
+                    plots=False, save_json=False, project=str(tmp_path),
+                    name="val")
+    assert "metrics/mAP50(B)" in metrics
+
+
 def test_rtdetr_tiny_model_learns():
     """Full model + matching loss: loss decreases under adam on one batch."""
     import optax
