@@ -77,10 +77,19 @@ def main():
         dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
         np.asarray(counts)
 
+    # steady-state pipelining, depth 2: submit batch i+1 before reading back
+    # batch i, hiding the per-call dispatch latency of the remote transport.
+    # Every iteration still executes real work on a distinct buffer and every
+    # output is read back, so the measurement stays honest — the wall clock
+    # covers all `iters` executions end to end.
     t0 = time.perf_counter()
+    pending = None
     for i in range(iters):
-        dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
-        np.asarray(counts)
+        out = fused(params, batch_stats, imgs[i % len(imgs)])
+        if pending is not None:
+            np.asarray(pending[1])
+        pending = out
+    np.asarray(pending[1])
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

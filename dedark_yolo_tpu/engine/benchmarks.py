@@ -35,8 +35,12 @@ def benchmark(yolo, imgsz=640, data=None, batch_sizes=(1, 8, 32), warmup=2,
                 img = img_u8.astype(dtype) / 255.0
                 v = {"params": params, "batch_stats": batch_stats}
                 raw = model.module.apply(v, img, train=False)
-                boxes, scores = decode_detections(raw, model.nc, model.strides,
-                                                  model.reg_max)
+                if model.head["name"] == "RTDETRDecoder":
+                    scale = jnp.asarray([imgsz, imgsz, imgsz, imgsz], raw.dtype)
+                    boxes, scores = raw[..., :4] * scale, raw[..., 4:]
+                else:
+                    boxes, scores = decode_detections(
+                        raw, model.nc, model.strides, model.reg_max)
                 return non_max_suppression(boxes.astype(jnp.float32),
                                            scores.astype(jnp.float32),
                                            conf_thres=0.25, iou_thres=0.45,
@@ -56,11 +60,17 @@ def benchmark(yolo, imgsz=640, data=None, batch_sizes=(1, 8, 32), warmup=2,
                     _, counts = fused(params, yolo.batch_stats,
                                       imgs[i % len(imgs)])
                     np.asarray(counts)
+                # depth-2 pipelining: submit batch i+1 before reading back
+                # batch i (hides per-call dispatch latency; every output is
+                # still read back, so the timing stays honest — bench.py)
                 t0 = time.perf_counter()
+                pending = None
                 for i in range(iters):
-                    _, counts = fused(params, yolo.batch_stats,
-                                      imgs[i % len(imgs)])
-                    np.asarray(counts)
+                    out = fused(params, yolo.batch_stats, imgs[i % len(imgs)])
+                    if pending is not None:
+                        np.asarray(pending[1])
+                    pending = out
+                np.asarray(pending[1])
                 dt = time.perf_counter() - t0
                 ips = bs * iters / dt
                 rows.append({"precision": "bf16" if half else "fp32",

@@ -1,4 +1,5 @@
 import logging
+import os
 import sys
 
 LOGGER = logging.getLogger("dedark_yolo_tpu")
@@ -7,6 +8,34 @@ if not LOGGER.handlers:
     _h.setFormatter(logging.Formatter("%(message)s"))
     LOGGER.addHandler(_h)
     LOGGER.setLevel(logging.INFO)
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at an on-disk compilation cache so fresh processes skip the
+    multi-minute XLA compile of graphs they have built before (the remote
+    compile service caches nothing across processes). Opt out with
+    DEDARK_JAX_CACHE=0; best-effort — backends that cannot serialize
+    executables simply keep compiling."""
+    cache = os.environ.get(
+        "DEDARK_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "dedark_jax"))
+    if cache in ("0", ""):
+        return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # XLA:CPU AOT artifacts embed the COMPILING machine's feature set; a
+        # remote compile service can hand back executables whose features the
+        # local host lacks (SIGILL risk). TPU executables target the chip, not
+        # the host, so the cache stays on for accelerator platforms.
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
 
 from .metrics import (ap_per_class, compute_ap, match_predictions, ConfusionMatrix,
                       Metric, DetMetrics, smooth)

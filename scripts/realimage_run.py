@@ -78,6 +78,16 @@ def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
     return yp
 
 
+def degrade_split(root, split, param):
+    """Offline low-light degradation of a split's images in place — the
+    deployment-shaped setup of BASELINE config 3 (val runs on an actually
+    dark dataset, reference utils/lowlight_process.py)."""
+    import cv2
+    for f in sorted((Path(root) / "images" / split).glob("*.jpg")):
+        img = cv2.imread(str(f)).astype(np.float32) / 255.0
+        cv2.imwrite(str(f), (np.power(img, param) * 255.0).astype(np.uint8))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=80)
@@ -87,6 +97,11 @@ def main():
     ap.add_argument("--out", default="runs/realimage")
     ap.add_argument("--model", default="yolov8n-dedark.yaml")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--control", action="store_true",
+                    help="clean-data control run: no degradation, no dedark "
+                         "flags — validates the dataset/labels themselves")
+    ap.add_argument("--ntrain", type=int, default=48)
+    ap.add_argument("--nval", type=int, default=16)
     args = ap.parse_args()
 
     if args.cpu:
@@ -98,14 +113,25 @@ def main():
     from dedark_yolo_tpu import YOLO
 
     out = Path(args.out)
-    yp = build_dataset(out / "data", imgsz=args.imgsz)
+    yp = build_dataset(out / "data", n_train=args.ntrain, n_val=args.nval,
+                       imgsz=args.imgsz)
+    dedark_kw = dict(lowlight_FLAG=True, dedark_FLAG=True,
+                     dark_param=args.dark, prior_mode="computed", lrl=2.0)
+    if args.control:
+        dedark_kw = dict(lowlight_FLAG=False, dedark_FLAG=False)
+    else:
+        # val measures on an actually-dark dataset (train degrades on the fly,
+        # reference detect/train.py:79; val images are crushed offline)
+        degrade_split(out / "data", "val", args.dark)
     m = YOLO(args.model)
+    # 48-image dataset = 3 micro-batches/epoch: disable grad accumulation
+    # (nbs=batch) and the 100-iteration warmup floor, or the optimizer would
+    # apply <1 update/epoch and ramp lr for ~30 epochs
     metrics = m.train(
         data=str(yp), epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
-        lowlight_FLAG=True, dedark_FLAG=True, dark_param=args.dark,
-        prior_mode="computed", lrl=2.0, workers=4, max_boxes=16,
-        max_nms=512, max_det=30, plots=True, project=str(out), name="train",
-        patience=100)
+        nbs=args.batch, warmup_epochs=0, workers=4, max_boxes=16, max_nms=512,
+        max_det=30, plots=True, project=str(out), name="train", patience=100,
+        **dedark_kw)
     print("FINAL", {k: round(float(v), 4) for k, v in metrics.items()
                     if isinstance(v, (int, float, np.floating))})
 
