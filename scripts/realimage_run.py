@@ -102,6 +102,9 @@ def main():
                          "flags — validates the dataset/labels themselves")
     ap.add_argument("--ntrain", type=int, default=48)
     ap.add_argument("--nval", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run from <out>/train/weights/"
+                         "last.npz (dataset regeneration is seed-deterministic)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -131,7 +134,7 @@ def main():
         data=str(yp), epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
         nbs=args.batch, warmup_epochs=0, workers=4, max_boxes=16, max_nms=512,
         max_det=30, plots=True, project=str(out), name="train", patience=100,
-        **dedark_kw)
+        resume=args.resume, **dedark_kw)
     print("FINAL", {k: round(float(v), 4) for k, v in metrics.items()
                     if isinstance(v, (int, float, np.floating))})
 
