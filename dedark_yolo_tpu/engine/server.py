@@ -1,0 +1,247 @@
+"""Dynamic-batching inference server: the production serving path.
+
+The reference has no serving story beyond perform.py's folder loop
+(perform.py:107-288 batch-infers a directory and writes a stats JSON); a
+deployment there means gluing the predictor into someone else's server. Here
+serving is first-class and TPU-shaped: requests arriving on independent
+threads are coalesced into ONE fixed-shape batch (pad to `max_batch`, a single
+XLA program, no re-tracing), ride the same jitted
+enhance+backbone+decode+NMS graph as the predictor, and are demultiplexed back
+to per-request futures. Fixed shapes mean the first warmup compile is the only
+compile the server ever does.
+
+Two front-ends share the batcher:
+  - in-process: ``submit(img_bgr) -> Future`` (embedding into an existing app);
+  - HTTP (stdlib, no extra deps): ``serve(port)`` exposes
+        POST /predict   image bytes (jpg/png)        -> detections JSON
+        GET  /healthz   liveness
+        GET  /stats     throughput / latency / batch-occupancy counters
+
+Batching policy: the worker blocks for the first request, then waits at most
+``max_wait_ms`` for followers (classic dynamic batching — bounded tail latency,
+full batches under load). Results are scaled to each request's original image
+space with the letterbox inverse (reference ops.py:95-125).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from queue import Empty, Queue
+
+import jax
+import numpy as np
+
+from ..cfg import get_cfg, DEFAULT_CFG_DICT
+from ..data.augment import letterbox
+from ..ops.boxes import scale_boxes
+from ..utils import LOGGER
+
+
+class InferenceServer:
+    """Coalesce concurrent detection requests into fixed-shape device batches.
+
+    model_spec: .npz checkpoint / .yaml architecture (anything YOLO() accepts).
+    max_batch:  the ONE compiled batch shape; also the coalescing cap.
+    max_wait_ms: how long the worker holds the first request for followers.
+    """
+
+    def __init__(self, model_spec, imgsz=640, max_batch=8, max_wait_ms=5.0,
+                 conf=0.25, iou=0.7, max_det=300, half=False, warmup=True):
+        from .model import YOLO
+        from .predictor import DetectionPredictor
+
+        self.imgsz = int(imgsz)
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+
+        y = YOLO(str(model_spec))
+        y._ensure_params(self.imgsz)
+        self.names = {int(k): v for k, v in (y.names or {}).items()}
+        args = get_cfg(DEFAULT_CFG_DICT, dict(
+            conf=conf, iou=iou, max_det=max_det, half=half,
+            batch=self.max_batch, imgsz=self.imgsz))
+        pred = DetectionPredictor(args=args, model=y.model, params=y.params,
+                                  batch_stats=y.batch_stats, names=y.names)
+        self._members = tuple(pred.members)
+        self._step = pred._make_step()
+
+        self._q: Queue = Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_images = 0
+        self._lat_ms = deque(maxlen=1024)
+        self._t_start = time.time()
+
+        if warmup:
+            z = np.zeros((self.max_batch, self.imgsz, self.imgsz, 3), np.uint8)
+            jax.block_until_ready(self._step(self._members, z))
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="dedark-batcher")
+        self._worker.start()
+
+    # ------------------------------------------------------------- client API
+    def submit(self, img_bgr: np.ndarray) -> Future:
+        """Enqueue one HWC-BGR uint8 image; resolves to a detections dict:
+        {"boxes": (k,6) float32 [x1,y1,x2,y2,conf,cls] in ORIGINAL image
+        coords, "names": class-name map, "latency_ms": server-side latency}."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._q.put((img_bgr, fut, time.perf_counter()))
+        with self._lock:
+            self._n_requests += 1
+        return fut
+
+    def predict(self, img_bgr, timeout=60.0):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(img_bgr).result(timeout=timeout)
+
+    def stats(self):
+        with self._lock:
+            lats = sorted(self._lat_ms)
+            n = len(lats)
+            return {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "mean_batch_occupancy": (self._n_images / self._n_batches
+                                         if self._n_batches else 0.0),
+                "latency_ms_p50": lats[n // 2] if n else 0.0,
+                "latency_ms_p95": lats[min(n - 1, int(n * 0.95))] if n else 0.0,
+                "uptime_s": time.time() - self._t_start,
+                "imgsz": self.imgsz,
+                "max_batch": self.max_batch,
+            }
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # unblock the worker
+        self._worker.join(timeout=10)
+
+    # ---------------------------------------------------------------- batcher
+    def _collect(self):
+        """One coalescing window: block for the first request, then drain up
+        to max_batch within max_wait_ms."""
+        try:
+            first = self._q.get(timeout=0.25)
+        except Empty:
+            return []
+        if first is None:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(items) < self.max_batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=left)
+            except Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            try:
+                self._infer(items)
+            except Exception as e:  # propagate to the waiting clients
+                LOGGER.error(f"serving batch failed: {e}")
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _infer(self, items):
+        n = len(items)
+        sz = self.imgsz
+        batch = np.zeros((self.max_batch, sz, sz, 3), np.uint8)
+        shapes = []
+        for i, (img, _, _) in enumerate(items):
+            lb, _, _ = letterbox(img, sz)
+            batch[i] = lb[..., ::-1]  # BGR -> RGB
+            shapes.append(img.shape[:2])
+        out = self._step(self._members, batch)
+        dets = np.asarray(out["dets"])
+        counts = np.asarray(out["counts"])
+        t_done = time.perf_counter()
+        with self._lock:
+            self._n_batches += 1
+            self._n_images += n
+        for i, (_, fut, t_in) in enumerate(items):
+            k = int(counts[i])
+            det = dets[i, :k].copy()
+            if k:
+                det[:, :4] = np.asarray(
+                    scale_boxes((sz, sz), det[:, :4], shapes[i]))
+            lat = (t_done - t_in) * 1000.0
+            with self._lock:
+                self._lat_ms.append(lat)
+            fut.set_result({"boxes": det.astype(np.float32),
+                            "names": self.names, "latency_ms": lat})
+
+    # ------------------------------------------------------------------- HTTP
+    def serve(self, port=0, host="127.0.0.1"):
+        """Start the stdlib HTTP front-end; returns (httpd, bound_port).
+        Serves on a daemon thread; call httpd.shutdown() to stop."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # route through our logger, quietly
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._json(200, server.stats())
+                else:
+                    self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    return self._json(404, {"error": "unknown path"})
+                try:
+                    import cv2
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                       cv2.IMREAD_COLOR)
+                    if img is None:
+                        return self._json(400, {"error": "undecodable image"})
+                    r = server.predict(img)
+                    self._json(200, {
+                        "boxes": r["boxes"].tolist(),
+                        "names": {str(k): v for k, v in r["names"].items()},
+                        "latency_ms": r["latency_ms"],
+                    })
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True,
+                             name="dedark-http")
+        t.start()
+        bound = httpd.server_address[1]
+        LOGGER.info(f"serving on http://{host}:{bound} "
+                    f"(batch<= {self.max_batch}, wait {self.max_wait_s * 1e3:.0f}ms)")
+        return httpd, bound

@@ -1,0 +1,84 @@
+"""Dynamic-batching inference server (engine/server.py).
+
+The reference has no serving path (perform.py only batch-infers folders);
+these tests pin down the new capability: request coalescing into one
+fixed-shape compiled batch, letterbox-inverse box scaling per request, and the
+stdlib HTTP front-end.
+"""
+
+import http.client
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dedark_yolo_tpu.engine.server import InferenceServer
+
+TINY = str(Path(__file__).parent / "tiny_model.yaml")
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = InferenceServer(TINY, imgsz=64, max_batch=4, max_wait_ms=40.0,
+                        conf=0.001, max_det=10)
+    yield s
+    s.close()
+
+
+def test_concurrent_requests_coalesce(server):
+    rng = np.random.default_rng(0)
+    # different original sizes: exercises per-request letterbox inverse
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for h, w in [(80, 120), (64, 64), (100, 60)]]
+    futs = [server.submit(im) for im in imgs]
+    outs = [f.result(timeout=120) for f in futs]
+    for im, out in zip(imgs, outs):
+        boxes = out["boxes"]
+        assert boxes.ndim == 2 and boxes.shape[1] == 6
+        assert boxes.dtype == np.float32
+        if len(boxes):
+            # boxes are in ORIGINAL image coords, clipped to the frame
+            h, w = im.shape[:2]
+            assert boxes[:, [0, 2]].max() <= w + 1e-3
+            assert boxes[:, [1, 3]].max() <= h + 1e-3
+            assert boxes[:, :4].min() >= -1e-3
+        assert out["latency_ms"] > 0
+    st = server.stats()
+    assert st["requests"] == 3
+    # 3 requests submitted within one 40ms window must not take 3 batches each
+    assert 1 <= st["batches"] <= 3
+    assert st["mean_batch_occupancy"] >= 1.0
+
+
+def test_http_front_end(server):
+    import cv2
+    httpd, port = server.serve(port=0)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+
+        img = np.full((48, 80, 3), 128, np.uint8)
+        ok, enc = cv2.imencode(".jpg", img)
+        assert ok
+        conn.request("POST", "/predict", body=enc.tobytes())
+        r = conn.getresponse()
+        assert r.status == 200
+        payload = json.loads(r.read())
+        assert "boxes" in payload and isinstance(payload["boxes"], list)
+        assert payload["names"], "class-name map should be populated"
+
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["requests"] >= 1 and st["max_batch"] == 4
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_submit_after_close_raises():
+    s = InferenceServer(TINY, imgsz=64, max_batch=2, warmup=False)
+    s.close()
+    with pytest.raises(RuntimeError):
+        s.submit(np.zeros((32, 32, 3), np.uint8))
