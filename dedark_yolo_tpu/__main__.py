@@ -12,7 +12,7 @@ import sys
 from .cfg import DEFAULT_CFG_DICT, check_cfg_alignment, DEFAULT_CFG_KEYS
 from .utils import LOGGER
 
-MODES = ("train", "val", "predict", "export", "benchmark")
+MODES = ("train", "val", "predict", "export", "benchmark", "serve")
 TASKS = ("detect",)
 
 HELP = f"""dedark-yolo-tpu CLI
@@ -25,6 +25,7 @@ examples:
     python -m dedark_yolo_tpu val model=runs/detect/train/weights/best.npz data=data.yaml
     python -m dedark_yolo_tpu predict model=best.npz source=images/ conf=0.4
     python -m dedark_yolo_tpu export model=best.npz format=stablehlo
+    python -m dedark_yolo_tpu serve model=best.npz port=8080 batch=8
 special:
     python -m dedark_yolo_tpu cfg        # print default config
     python -m dedark_yolo_tpu version
@@ -79,10 +80,33 @@ def entrypoint(argv=None):
                         f"(expected MODE or k=v)")
     if mode is None:
         mode = overrides.pop("mode", "predict")
-    check_cfg_alignment(DEFAULT_CFG_KEYS, overrides)
+    serve_keys = {"port"} if mode == "serve" else set()
+    check_cfg_alignment(set(DEFAULT_CFG_KEYS) | serve_keys, overrides)
+
+    model_spec = overrides.pop("model", None) or "yolov8l.yaml"
+    if mode == "serve":
+        # dynamic-batching HTTP inference server (engine/server.py) — a
+        # serving capability the reference does not have
+        from .engine.server import InferenceServer
+        import time
+        srv = InferenceServer(
+            model_spec,
+            imgsz=int(overrides.get("imgsz", 640)),
+            max_batch=int(overrides.get("batch", 8)),
+            conf=float(overrides.get("conf", 0.25)),
+            iou=float(overrides.get("iou", 0.7)),
+            max_det=int(overrides.get("max_det", 300)),
+            half=bool(overrides.get("half", False)))
+        httpd, port = srv.serve(port=int(overrides.get("port", 8080)))
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            httpd.shutdown()
+            srv.close()
+        return 0
 
     from .engine.model import YOLO
-    model_spec = overrides.pop("model", None) or "yolov8l.yaml"
     model = YOLO(model_spec)
     if mode == "train":
         model.train(**overrides)

@@ -1,0 +1,81 @@
+"""CLI entrypoint (`python -m dedark_yolo_tpu MODE k=v`).
+
+Counterpart of the reference `yolo TASK MODE k=v` entrypoint tests-by-usage
+(ultralytics/cfg/__init__.py:286-423 has no tests in the reference); here the
+parsing, typo suggestion, special commands, and mode dispatch are asserted.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dedark_yolo_tpu.__main__ import entrypoint, _parse_value
+
+TINY = str(Path(__file__).parent / "tiny_model.yaml")
+
+
+def test_parse_value_types():
+    assert _parse_value("true") is True and _parse_value("False") is False
+    assert _parse_value("none") is None
+    assert _parse_value("3") == 3 and isinstance(_parse_value("3"), int)
+    assert _parse_value("0.5") == 0.5
+    assert _parse_value("[640, 480]") == [640, 480]
+    assert _parse_value("runs/x.yaml") == "runs/x.yaml"
+
+
+def test_special_commands(capsys):
+    assert entrypoint(["help"]) == 0
+    assert "modes:" in capsys.readouterr().out
+    assert entrypoint(["version"]) == 0
+    assert entrypoint(["cfg"]) == 0
+    out = capsys.readouterr().out
+    assert "lowlight_FLAG" in out  # fork flags present in the default dump
+
+
+def test_typo_suggestion():
+    with pytest.raises(SyntaxError, match="epochs"):
+        entrypoint(["train", "epochz=3"])
+
+
+def test_predict_mode(tmp_path):
+    import cv2
+    img = np.full((60, 80, 3), 120, np.uint8)
+    src = tmp_path / "im.jpg"
+    cv2.imwrite(str(src), img)
+    rc = entrypoint([
+        "predict", f"model={TINY}", f"source={src}", "imgsz=64",
+        "conf=0.001", "max_nms=256", "max_det=10", "save=False",
+        f"project={tmp_path}", "name=cli",
+    ])
+    assert rc == 0
+
+
+def test_serve_mode_accepts_port(monkeypatch):
+    """serve accepts the extra `port` key and wires overrides through."""
+    seen = {}
+
+    class FakeServer:
+        def __init__(self, spec, **kw):
+            seen.update(kw, spec=spec)
+
+        def serve(self, port):
+            seen["port"] = port
+            raise KeyboardInterrupt  # unwind the serve-forever loop
+
+        def close(self):
+            seen["closed"] = True
+
+    import dedark_yolo_tpu.engine.server as srv
+    monkeypatch.setattr(srv, "InferenceServer", FakeServer)
+    with pytest.raises(KeyboardInterrupt):
+        entrypoint(["serve", f"model={TINY}", "port=8123", "batch=4",
+                    "imgsz=320"])
+    assert seen["spec"] == TINY
+    assert seen["port"] == 8123
+    assert seen["max_batch"] == 4 and seen["imgsz"] == 320
+
+
+def test_unknown_port_rejected_outside_serve():
+    with pytest.raises(SyntaxError):
+        entrypoint(["predict", "port=8080", "source=x.jpg"])
