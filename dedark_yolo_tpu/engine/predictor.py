@@ -199,7 +199,7 @@ class DetectionPredictor:
                     speed={"inference": t_inf},
                     enhanced_img=(enhanced[i] if enhanced is not None else None),
                     **self.extra_fields(out, i, k, orig.shape[:2], imgsz))
-                if a.save or a.save_txt or a.save_enhanced:
+                if a.save or a.save_txt or a.save_crop or a.save_enhanced:
                     self._write(res, buf_meta[i])
                 yield res
             buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
@@ -240,6 +240,8 @@ class DetectionPredictor:
         if self.args.save_txt:
             res.save_txt(self.save_dir / "labels" / f"{stem}.txt",
                          save_conf=self.args.save_conf)
+        if self.args.save_crop:
+            res.save_crop(self.save_dir / "crops", file_name=stem)
         if self.args.save_enhanced and res.enhanced_img is not None:
             enh = (res.enhanced_img * 255).astype(np.uint8)
             cv2.imwrite(str(self.save_dir / f"{stem}_enhanced.jpg"),

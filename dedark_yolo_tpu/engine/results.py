@@ -119,6 +119,33 @@ class Results:
         Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
         return txt_file
 
+    def save_crop(self, save_dir, file_name=None):
+        """Save one crop per detection into <save_dir>/<class-name>/ (reference
+        results.py save_crop -> plotting.save_one_box: box grown by 2% + 10px
+        pad, clipped to the frame, written BGR)."""
+        import cv2
+        h, w = self.orig_shape
+        stem = Path(file_name or self.path or "im").stem
+        n_saved = 0
+        for i, d in enumerate(self.boxes.data):
+            x1, y1, x2, y2, _, c = d
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            bw, bh = (x2 - x1) * 1.02 + 10, (y2 - y1) * 1.02 + 10
+            xa = max(int(cx - bw / 2), 0)
+            ya = max(int(cy - bh / 2), 0)
+            xb = min(int(cx + bw / 2), w)
+            yb = min(int(cy + bh / 2), h)
+            if xb <= xa or yb <= ya:
+                continue
+            name = self.names.get(int(c), str(int(c)))
+            out = Path(save_dir) / name
+            out.mkdir(parents=True, exist_ok=True)
+            crop = self.orig_img[ya:yb, xa:xb]
+            cv2.imwrite(str(out / f"{stem}{'' if i == 0 else i}.jpg"),
+                        crop[..., ::-1])
+            n_saved += 1
+        return n_saved
+
     def tojson(self):
         out = []
         for d in self.boxes.data:

@@ -65,7 +65,7 @@ def test_predict_and_save(trained, synth_yaml, tmp_path):
     img_dir = data["val"]
     results = model.predict(img_dir, imgsz=96, batch=2, conf=0.01, workers=1,
                             max_nms=256, max_det=20, save=False, save_txt=True,
-                            project=str(tmp_path))
+                            save_crop=True, project=str(tmp_path))
     assert len(results) == 4
     r = results[0]
     assert r.orig_img.ndim == 3
@@ -76,6 +76,12 @@ def test_predict_and_save(trained, synth_yaml, tmp_path):
         assert (r.boxes.xyxy[:, 3] <= h + 1).all()
     js = r.tojson()
     assert js.startswith("[")
+    # save_crop: one crop per detection under crops/<class-name>/ (reference
+    # results.py save_crop)
+    n_dets = sum(len(x.boxes) for x in results)
+    if n_dets:
+        crops = list((tmp_path / "predict" / "crops").rglob("*.jpg"))
+        assert len(crops) == n_dets
 
 
 def test_resume(trained, synth_yaml):
