@@ -383,6 +383,19 @@ class BaseTrainer:
 
         LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
                     f"results in {self.save_dir}")
+        # final eval: the returned metrics are the BEST checkpoint's (EMA
+        # weights), not the last epoch's — reference final_eval vals best.pt
+        # after stripping the optimizer (trainer.py:397-404, 549-558)
+        best = self.wdir / "best.npz"
+        if a.val and jax.process_index() == 0 and best.is_file() \
+                and hasattr(self, "_validator"):
+            meta, flat = load_checkpoint(best)
+            if meta["epoch"] != epoch:  # best == last: per-epoch val already ran
+                LOGGER.info(f"validating best.npz (epoch {meta['epoch'] + 1})")
+                bp = restore_tree(flat, "ema", ema["params"])
+                bbs = restore_tree(flat, "ema_bs", ema["batch_stats"])
+                self.metrics = self._validator(model=model, params=bp,
+                                               batch_stats=bbs, mesh=mesh)
         if a.plots:
             try:
                 from ..utils.plotting import plot_results

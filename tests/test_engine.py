@@ -97,6 +97,22 @@ def test_resume(trained, synth_yaml):
     assert int(float(rows[-1].split(",")[0])) == 2
 
 
+def test_final_eval_reports_best(synth_yaml, tmp_path):
+    """Returned train metrics are the BEST checkpoint's, not the last epoch's
+    (reference final_eval vals best.pt, trainer.py:549-558). The re-val of the
+    best EMA weights must reproduce the fitness recorded when best.npz was
+    written."""
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.utils.checkpoint import load_checkpoint
+    model = YOLO(TINY)
+    metrics = model.train(data=synth_yaml, epochs=3, imgsz=96, batch=8,
+                          mesh_shape=[2], workers=2, project=str(tmp_path),
+                          name="fe", max_boxes=16, max_nms=256, max_det=20,
+                          warmup_epochs=0.5, plots=False, val=True)
+    meta, _ = load_checkpoint(tmp_path / "fe" / "weights" / "best.npz")
+    assert metrics["fitness"] == pytest.approx(meta["best_fitness"], abs=1e-5)
+
+
 def test_export_stablehlo(trained, tmp_path):
     model, _, _ = trained
     path = model.export(format="stablehlo", imgsz=96, batch=1,
