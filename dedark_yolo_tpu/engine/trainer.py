@@ -381,6 +381,7 @@ class BaseTrainer:
             if stop:
                 break
 
+        self._ckpt_drain()  # all queued checkpoint writes must be on disk
         LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
                     f"results in {self.save_dir}")
         # final eval: the returned metrics are the BEST checkpoint's (EMA
@@ -441,6 +442,10 @@ class BaseTrainer:
 
     def _save_ckpt(self, params, batch_stats, ema, ema_updates, opt_state,
                    epoch, improved):
+        # the device->host gather must happen NOW (the next train step donates
+        # these buffers), but npz compression + file IO are pure host work —
+        # they run on a single background writer thread so the train loop only
+        # pays the gather, not the write (reference torch.save blocks the loop)
         common = dict(
             params=self._gather_host(params),
             batch_stats=self._gather_host(batch_stats),
@@ -452,12 +457,32 @@ class BaseTrainer:
         # last.npz carries optimizer state for exact resume (reference
         # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
         # reference's strip_optimizer deployment checkpoints)
-        save_checkpoint(self.wdir / "last.npz",
-                        opt_state=self._gather_host(opt_state), **common)
+        self._ckpt_async(self.wdir / "last.npz",
+                         dict(opt_state=self._gather_host(opt_state), **common))
         if improved:
-            save_checkpoint(self.wdir / "best.npz", **common)
+            self._ckpt_async(self.wdir / "best.npz", dict(common))
         if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
-            save_checkpoint(self.wdir / f"epoch{epoch}.npz", **common)
+            self._ckpt_async(self.wdir / f"epoch{epoch}.npz", dict(common))
+
+    def _ckpt_async(self, path, kwargs):
+        """Queue one checkpoint write on the background writer (latest write
+        per path wins; a previous in-flight write of the same path is allowed
+        to finish — writes are whole-file, so last-finished == last-queued on
+        the single-threaded writer)."""
+        if not hasattr(self, "_ckpt_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._ckpt_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+            self._ckpt_futures = []
+        self._ckpt_futures.append(
+            self._ckpt_pool.submit(save_checkpoint, path, **kwargs))
+
+    def _ckpt_drain(self):
+        """Block until all queued checkpoint writes are on disk (called before
+        resume-dependent reads and at train end); re-raises writer errors."""
+        for f in getattr(self, "_ckpt_futures", []):
+            f.result()
+        self._ckpt_futures = []
 
     def _resume(self, params, batch_stats, ema, ema_updates, opt_state):
         ckpt = self.wdir / "last.npz"
