@@ -35,6 +35,16 @@ class AutoBackend:
             data = Path(model_spec).read_bytes()
             self._exported = jax.export.deserialize(bytearray(data))
             self._fn = lambda img: self._exported.call(img)
+            # deployment sidecar (written by the exporter): fixed shapes +
+            # class names travel with the artifact
+            sidecar = Path(str(model_spec) + ".json")
+            if sidecar.is_file():
+                import json
+                meta = json.loads(sidecar.read_text())
+                self.imgsz = int(meta.get("imgsz", imgsz))
+                self.batch = int(meta.get("batch", batch))
+                self.names = {int(k): v
+                              for k, v in meta.get("names", {}).items()}
         else:
             from .model import YOLO
             y = YOLO(str(model_spec))

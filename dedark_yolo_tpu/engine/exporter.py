@@ -48,8 +48,16 @@ class Exporter:
                 jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
             path = out_dir / "model.bin"
             path.write_bytes(exp.serialize())
+            # deployment sidecar: the artifact's fixed shapes + class names, so
+            # AutoBackend / InferenceServer can self-configure from the file
+            import json
+            names = getattr(model, "names", {}) or {}
+            (out_dir / "model.bin.json").write_text(json.dumps({
+                "imgsz": imgsz, "batch": batch, "nc": model.nc,
+                "names": {int(k): v for k, v in names.items()},
+            }, indent=2))
             LOGGER.info(f"exported jax.export artifact to {path} "
-                        f"({path.stat().st_size / 1e6:.1f} MB)")
+                        f"({path.stat().st_size / 1e6:.1f} MB, + .json sidecar)")
             return str(path)
         if fmt == "stablehlo":
             lowered = jax.jit(infer).lower(example)

@@ -50,24 +50,49 @@ class InferenceServer:
     """
 
     def __init__(self, model_spec, imgsz=640, max_batch=8, max_wait_ms=5.0,
-                 conf=0.25, iou=0.7, max_det=300, half=False, warmup=True):
-        from .model import YOLO
-        from .predictor import DetectionPredictor
-
+                 conf=0.25, iou=0.7, max_det=300, max_nms=2048, half=False,
+                 warmup=True):
         self.imgsz = int(imgsz)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
 
-        y = YOLO(str(model_spec))
-        y._ensure_params(self.imgsz)
-        self.names = {int(k): v for k, v in (y.names or {}).items()}
-        args = get_cfg(DEFAULT_CFG_DICT, dict(
-            conf=conf, iou=iou, max_det=max_det, half=half,
-            batch=self.max_batch, imgsz=self.imgsz))
-        pred = DetectionPredictor(args=args, model=y.model, params=y.params,
-                                  batch_stats=y.batch_stats, names=y.names)
-        self._members = tuple(pred.members)
-        self._step = pred._make_step()
+        if str(model_spec).endswith(".bin"):
+            # exported jax.export artifact (weight-embedded compiled program,
+            # fixed shapes): the artifact's own batch/imgsz win — its .json
+            # sidecar carries them, plus the class names
+            from .autobackend import AutoBackend
+            from ..ops.nms import non_max_suppression
+            backend = AutoBackend(model_spec, imgsz=self.imgsz,
+                                  batch=self.max_batch)
+            self.imgsz, self.max_batch = backend.imgsz, backend.batch
+            self.names = dict(backend.names)
+
+            @jax.jit
+            def nms_step(boxes, scores):
+                dets, counts = non_max_suppression(
+                    boxes, scores, conf_thres=float(conf),
+                    iou_thres=float(iou), max_det=int(max_det),
+                    max_nms=int(max_nms), multi_label=False)
+                return {"dets": dets, "counts": counts}
+
+            self._members = ()
+            self._step = lambda members, batch: nms_step(
+                *backend.forward(batch))
+        else:
+            from .model import YOLO
+            from .predictor import DetectionPredictor
+
+            y = YOLO(str(model_spec))
+            y._ensure_params(self.imgsz)
+            self.names = {int(k): v for k, v in (y.names or {}).items()}
+            args = get_cfg(DEFAULT_CFG_DICT, dict(
+                conf=conf, iou=iou, max_det=max_det, max_nms=max_nms,
+                half=half, batch=self.max_batch, imgsz=self.imgsz))
+            pred = DetectionPredictor(args=args, model=y.model,
+                                      params=y.params,
+                                      batch_stats=y.batch_stats, names=y.names)
+            self._members = tuple(pred.members)
+            self._step = pred._make_step()
 
         self._q: Queue = Queue()
         self._stop = threading.Event()

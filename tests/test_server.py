@@ -77,6 +77,26 @@ def test_http_front_end(server):
         httpd.shutdown()
 
 
+def test_serve_exported_artifact(tmp_path):
+    """The server also deploys jax.export .bin artifacts: fixed shapes + class
+    names come from the exporter's .json sidecar; NMS runs server-side."""
+    from dedark_yolo_tpu import YOLO
+
+    m = YOLO(TINY)
+    path = m.export(format="export", imgsz=64, batch=2, project=str(tmp_path))
+    assert Path(path + ".json").is_file(), "exporter writes a sidecar"
+
+    s = InferenceServer(path, imgsz=512, max_batch=7,  # overridden by sidecar
+                        max_wait_ms=10.0, conf=0.001, max_det=10)
+    try:
+        assert s.imgsz == 64 and s.max_batch == 2
+        assert s.names, "names restored from the sidecar"
+        out = s.predict(np.full((50, 90, 3), 90, np.uint8))
+        assert out["boxes"].shape[1] == 6
+    finally:
+        s.close()
+
+
 def test_submit_after_close_raises():
     s = InferenceServer(TINY, imgsz=64, max_batch=2, warmup=False)
     s.close()
