@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--priors", choices=("default", "computed"),
+                    default="default",
+                    help="dedark prior mode: 'default' = A=0.8/IcA=0.5 "
+                         "(trainer default, matches the reference's effective "
+                         "behavior); 'computed' adds in-graph dark-channel "
+                         "priors")
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
@@ -53,14 +59,27 @@ def main():
     hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "lrl": 2.0}
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
+    use_computed = args.priors == "computed"
+
     def loss_fn(params, batch_stats, batch):
+        if dtype == jnp.bfloat16:
+            # trainer amp semantics: master params stay f32 in the optimizer,
+            # the forward runs bf16 (engine/trainer.py make_loss_fn)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
         clean = batch["img"].astype(jnp.float32) / 255.0
         img = lowlight_degrade(clean, 5.0)
-        dedark_A, IcA = dark_channel_priors(img)
+        dedark_A = IcA = None
+        if use_computed:
+            dedark_A, IcA = dark_channel_priors(img)
+            dedark_A, IcA = dedark_A.astype(dtype), IcA.astype(dtype)
         v = {"params": params, "batch_stats": batch_stats}
         raw, new_stats = model.apply_train(v, img.astype(dtype),
-                                           dedark_A.astype(dtype),
-                                           IcA.astype(dtype))
+                                           dedark_A, IcA)
+        if dtype == jnp.bfloat16:
+            raw = jax.tree_util.tree_map(
+                lambda r: r.astype(jnp.float32), raw)   # loss math in f32
         lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
                   "mask_gt": batch["mask_gt"],
                   "recovery_loss": jnp.mean((img - clean) ** 2)}
@@ -89,13 +108,18 @@ def main():
     rng = np.random.default_rng(0)
     for b in [int(x) for x in args.batches.split(",")]:
         batches = []
-        for _ in range(2):  # distinct buffers, reused round-robin
+        for _ in range(2):  # distinct DEVICE-staged buffers, round-robin
             batches.append({
                 "img": rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8),
                 "bboxes": rng.uniform(0.2, 0.7, (b, max_boxes, 4)).astype(np.float32),
                 "cls": rng.integers(0, 3, (b, max_boxes)).astype(np.float32),
                 "mask_gt": np.ones((b, max_boxes), np.float32),
             })
+        # pre-stage on device: over a remote transport the per-step host->
+        # device batch upload costs 100s of ms and would swamp the step time
+        # (the real trainer overlaps uploads via its prefetching loader)
+        batches = jax.device_put(batches)
+        jax.block_until_ready(batches)
         p, bs = params, batch_stats
         opt = init_opt_state(p)
         ema = ema_init({"params": p, "batch_stats": bs})
