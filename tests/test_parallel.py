@@ -81,3 +81,26 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_spatial_sharded_inference():
+    """One image's H axis sharded over all 8 devices: GSPMD partitions the
+    convs (automatic halo exchange) and the result matches single-device
+    inference — the large-image scaling axis of a CNN detector (SURVEY §5)."""
+    from dedark_yolo_tpu.cfg import model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.parallel import spatial_infer, spatial_pad_to
+
+    d = model_yaml_load(str(Path(__file__).parent / "tiny_model.yaml"))
+    model = DetectionModel(d)
+    v = model.init(jax.random.PRNGKey(0), imgsz=256)
+    img = np.random.default_rng(0).uniform(0, 1, (1, 256, 256, 3)).astype(np.float32)
+
+    ref_b, ref_s = model.apply_eval(v, jnp.asarray(img))
+    assert spatial_pad_to(250, 8) == 256
+    boxes, scores = spatial_infer(model, v, img)
+    assert boxes.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref_b),
+                               rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_s),
+                               rtol=1e-4, atol=1e-5)
