@@ -80,7 +80,6 @@ class InferenceServer:
                 *backend.forward(batch))
         else:
             from .model import YOLO
-            from .predictor import DetectionPredictor
 
             y = YOLO(str(model_spec))
             y._ensure_params(self.imgsz)
@@ -88,9 +87,22 @@ class InferenceServer:
             args = get_cfg(DEFAULT_CFG_DICT, dict(
                 conf=conf, iou=iou, max_det=max_det, max_nms=max_nms,
                 half=half, batch=self.max_batch, imgsz=self.imgsz))
-            pred = DetectionPredictor(args=args, model=y.model,
-                                      params=y.params,
-                                      batch_stats=y.batch_stats, names=y.names)
+            # same task dispatch as YOLO.predict: segment/pose responses carry
+            # masks/keypoints through the predictor's extra_fields hook
+            task = getattr(y.model, "task", "detect")
+            if task == "segment":
+                from .segment import SegmentationPredictor as Pred
+            elif task == "pose":
+                from .pose import PosePredictor as Pred
+            elif task == "classify":
+                raise ValueError(
+                    "InferenceServer serves detection-family tasks "
+                    "(detect/segment/pose); use YOLO.predict for classify")
+            else:
+                from .predictor import DetectionPredictor as Pred
+            pred = Pred(args=args, model=y.model, params=y.params,
+                        batch_stats=y.batch_stats, names=y.names)
+            self._pred = pred
             self._members = tuple(pred.members)
             self._step = pred._make_step()
 
@@ -202,6 +214,7 @@ class InferenceServer:
         with self._lock:
             self._n_batches += 1
             self._n_images += n
+        pred = getattr(self, "_pred", None)
         for i, (_, fut, t_in) in enumerate(items):
             k = int(counts[i])
             det = dets[i, :k].copy()
@@ -211,8 +224,13 @@ class InferenceServer:
             lat = (t_done - t_in) * 1000.0
             with self._lock:
                 self._lat_ms.append(lat)
-            fut.set_result({"boxes": det.astype(np.float32),
-                            "names": self.names, "latency_ms": lat})
+            res = {"boxes": det.astype(np.float32),
+                   "names": self.names, "latency_ms": lat}
+            if pred is not None:
+                # segment: masks (k, H0, W0) bool; pose: keypoints (k, K, 3)
+                # in original image coords — same hook the predictor uses
+                res.update(pred.extra_fields(out, i, k, shapes[i], sz))
+            fut.set_result(res)
 
     # ------------------------------------------------------------------- HTTP
     def serve(self, port=0, host="127.0.0.1"):
@@ -254,11 +272,26 @@ class InferenceServer:
                     if img is None:
                         return self._json(400, {"error": "undecodable image"})
                     r = server.predict(img)
-                    self._json(200, {
+                    payload = {
                         "boxes": r["boxes"].tolist(),
                         "names": {str(k): v for k, v in r["names"].items()},
                         "latency_ms": r["latency_ms"],
-                    })
+                    }
+                    if "keypoints" in r:
+                        payload["keypoints"] = np.asarray(
+                            r["keypoints"]).tolist()
+                    if "masks" in r:
+                        # bitmap masks -> external contour polygons (JSON-able)
+                        polys = []
+                        for m in r["masks"]:
+                            cs, _ = cv2.findContours(
+                                m.astype(np.uint8), cv2.RETR_EXTERNAL,
+                                cv2.CHAIN_APPROX_SIMPLE)
+                            best = (max(cs, key=cv2.contourArea)
+                                    if cs else np.zeros((0, 1, 2), np.int32))
+                            polys.append(best.reshape(-1, 2).tolist())
+                        payload["masks"] = polys
+                    self._json(200, payload)
                 except Exception as e:
                     self._json(500, {"error": str(e)})
 

@@ -102,3 +102,56 @@ def test_submit_after_close_raises():
     s.close()
     with pytest.raises(RuntimeError):
         s.submit(np.zeros((32, 32, 3), np.uint8))
+
+
+def _write_yaml(tmp_path, spec, name):
+    import yaml
+    p = tmp_path / name
+    p.write_text(yaml.safe_dump(spec))
+    return str(p)
+
+
+def test_serve_segment_task(tmp_path):
+    """Segment model responses carry per-detection masks in ORIGINAL image
+    coords (the predictor's extra_fields hook runs server-side)."""
+    from test_segment_task import SEG_TINY
+    s = InferenceServer(_write_yaml(tmp_path, SEG_TINY, "seg.yaml"),
+                        imgsz=64, max_batch=2, max_wait_ms=5.0,
+                        conf=0.001, max_det=8)
+    try:
+        img = np.random.default_rng(2).integers(0, 255, (70, 50, 3),
+                                                dtype=np.uint8)
+        out = s.predict(img)
+        assert "masks" in out
+        k = len(out["boxes"])
+        assert out["masks"].shape == (k, 70, 50)
+        assert out["masks"].dtype == bool
+    finally:
+        s.close()
+
+
+def test_serve_pose_task(tmp_path):
+    from test_pose_task import POSE_TINY
+    s = InferenceServer(_write_yaml(tmp_path, POSE_TINY, "pose.yaml"),
+                        imgsz=64, max_batch=2, max_wait_ms=5.0,
+                        conf=0.001, max_det=8)
+    try:
+        out = s.predict(np.full((60, 80, 3), 70, np.uint8))
+        assert "keypoints" in out
+        k = len(out["boxes"])
+        assert out["keypoints"].shape[0] == k
+        if k:  # keypoints scaled into original image coords
+            assert out["keypoints"][..., 0].max() <= 80 + 1e-3
+            assert out["keypoints"][..., 1].max() <= 60 + 1e-3
+    finally:
+        s.close()
+
+
+def test_classify_rejected():
+    import yaml as _y
+    spec = {"nc": 3, "backbone": [[-1, 1, "Conv", [8, 3, 2]]],
+            "head": [[-1, 1, "Classify", ["nc"]]]}
+    p = Path("/tmp/cls_tiny_server.yaml")
+    p.write_text(_y.safe_dump(spec))
+    with pytest.raises(ValueError, match="detection-family"):
+        InferenceServer(str(p), imgsz=64, max_batch=2, warmup=False)
