@@ -141,8 +141,14 @@ class Results:
             out = Path(save_dir) / name
             out.mkdir(parents=True, exist_ok=True)
             crop = self.orig_img[ya:yb, xa:xb]
-            cv2.imwrite(str(out / f"{stem}{'' if i == 0 else i}.jpg"),
-                        crop[..., ::-1])
+            # increment on collision (reference save_one_box increment_path):
+            # different source images can share a stem (a/img.jpg, b/img.jpg)
+            target = out / f"{stem}{'' if i == 0 else i}.jpg"
+            bump = 2
+            while target.exists():
+                target = out / f"{stem}{'' if i == 0 else i}_{bump}.jpg"
+                bump += 1
+            cv2.imwrite(str(target), crop[..., ::-1])
             n_saved += 1
         return n_saved
 

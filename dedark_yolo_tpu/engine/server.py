@@ -159,6 +159,15 @@ class InferenceServer:
         self._stop.set()
         self._q.put(None)  # unblock the worker
         self._worker.join(timeout=10)
+        # fail anything still queued (including submits that raced close):
+        # a hung-forever future is worse than an explicit error
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("server closed"))
 
     # ---------------------------------------------------------------- batcher
     def _collect(self):
@@ -199,14 +208,37 @@ class InferenceServer:
                         fut.set_exception(e)
 
     def _infer(self, items):
+        # per-item validation FIRST: one malformed request must fail only its
+        # own future, never the other clients coalesced into the same batch
+        good = []
+        for img, fut, t_in in items:
+            if (isinstance(img, np.ndarray) and img.ndim == 3
+                    and img.shape[2] == 3 and img.shape[0] > 0
+                    and img.shape[1] > 0 and img.dtype == np.uint8):
+                good.append((img, fut, t_in))
+            elif not fut.done():
+                fut.set_exception(ValueError(
+                    "expected HWC-BGR uint8 image, got "
+                    f"{getattr(img, 'dtype', '')} shape "
+                    f"{getattr(img, 'shape', type(img).__name__)}"))
+        items = good
+        if not items:
+            return
         n = len(items)
         sz = self.imgsz
-        batch = np.zeros((self.max_batch, sz, sz, 3), np.uint8)
-        shapes = []
-        for i, (img, _, _) in enumerate(items):
-            lb, _, _ = letterbox(img, sz)
-            batch[i] = lb[..., ::-1]  # BGR -> RGB
-            shapes.append(img.shape[:2])
+        shapes = [img.shape[:2] for img, _, _ in items]
+        from .. import native as _native
+        if _native.available():
+            # batched GIL-free C++ letterbox incl. the BGR->RGB swap (same
+            # path the predictor uses, predictor.py flush)
+            srcs = [np.ascontiguousarray(img) for img, _, _ in items]
+            srcs += [srcs[0]] * (self.max_batch - n)
+            batch = _native.letterbox_batch(srcs, sz, fill=114, swap_rb=True)
+        else:
+            batch = np.zeros((self.max_batch, sz, sz, 3), np.uint8)
+            for i, (img, _, _) in enumerate(items):
+                lb, _, _ = letterbox(img, sz)
+                batch[i] = lb[..., ::-1]  # BGR -> RGB
         out = self._step(self._members, batch)
         dets = np.asarray(out["dets"])
         counts = np.asarray(out["counts"])

@@ -465,24 +465,36 @@ class BaseTrainer:
             self._ckpt_async(self.wdir / f"epoch{epoch}.npz", dict(common))
 
     def _ckpt_async(self, path, kwargs):
-        """Queue one checkpoint write on the background writer (latest write
-        per path wins; a previous in-flight write of the same path is allowed
-        to finish — writes are whole-file, so last-finished == last-queued on
-        the single-threaded writer)."""
+        """Queue one checkpoint write on the background writer. Backpressure:
+        at most one QUEUED write per path — a stale not-yet-started write of
+        the same file is cancelled (latest wins; an in-flight write finishes,
+        and the single-threaded writer preserves submission order). This bounds
+        host memory to <= 2 checkpoint copies per path however slow the disk
+        is. Errors from completed writes re-raise on the next queue/drain call
+        instead of silently at train end."""
         if not hasattr(self, "_ckpt_pool"):
             from concurrent.futures import ThreadPoolExecutor
             self._ckpt_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-writer")
-            self._ckpt_futures = []
-        self._ckpt_futures.append(
-            self._ckpt_pool.submit(save_checkpoint, path, **kwargs))
+            self._ckpt_futures = {}
+        key = str(path)
+        prev = self._ckpt_futures.get(key)
+        if prev is not None:
+            if not prev.cancel() and prev.done():
+                prev.result()  # surface a failed earlier write NOW
+        self._ckpt_futures[key] = self._ckpt_pool.submit(
+            save_checkpoint, path, **kwargs)
 
     def _ckpt_drain(self):
         """Block until all queued checkpoint writes are on disk (called before
         resume-dependent reads and at train end); re-raises writer errors."""
-        for f in getattr(self, "_ckpt_futures", []):
-            f.result()
-        self._ckpt_futures = []
+        from concurrent.futures import CancelledError
+        for f in getattr(self, "_ckpt_futures", {}).values():
+            try:
+                f.result()
+            except CancelledError:
+                pass  # superseded by a newer write of the same path
+        self._ckpt_futures = {}
 
     def _resume(self, params, batch_stats, ema, ema_updates, opt_state):
         ckpt = self.wdir / "last.npz"

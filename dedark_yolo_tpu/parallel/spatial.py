@@ -54,11 +54,21 @@ def spatial_infer(model, variables, img, mesh=None, axis=None):
     repl = NamedSharding(mesh, P())
     row_sharded = NamedSharding(mesh, P(None, axis, None, None))
 
-    fn = jax.jit(
-        lambda v, x: model.apply_eval(v, x),
-        in_shardings=(repl, row_sharded),
-        out_shardings=repl,
-    )
+    # cache the jitted partition per (mesh, axis) ON the model: a fresh
+    # jax.jit(lambda ...) every call would recompile the full GSPMD graph for
+    # every frame of a stream (jit caches by function identity)
+    cache = model.__dict__.setdefault("_spatial_jit_cache", {})
+    key = (tuple(np.asarray(mesh.devices).ravel().tolist()), axis)
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda v, x: model.apply_eval(v, x),
+            in_shardings=(repl, row_sharded),
+            out_shardings=repl,
+        )
+        cache[key] = fn
+    # device_put is a no-op for arrays already placed with these shardings, so
+    # callers streaming frames can pre-place `variables` once
     variables = jax.device_put(variables, repl)
     img = jax.device_put(np.asarray(img), row_sharded)
     return fn(variables, img)

@@ -65,12 +65,15 @@ def _mutate(parent, space, rng):
 
 
 def _pick_parent(results, rng):
-    """Fitness-weighted choice among the top elites (only successful trials)."""
-    elites = sorted((r for r in results if r["fitness"] > 0),
+    """Fitness-weighted choice among the top elites. Successful trials with
+    fitness exactly 0.0 (common on short probe budgets) still count as
+    parents — only the -1.0 failure sentinel is excluded; the epsilon keeps
+    the weighted draw defined when every elite scored 0.0."""
+    elites = sorted((r for r in results if r["fitness"] >= 0),
                     key=lambda r: -r["fitness"])[:_ELITES]
     if not elites:
         return None
-    weights = [r["fitness"] for r in elites]
+    weights = [r["fitness"] + 1e-6 for r in elites]
     return rng.choices(elites, weights=weights, k=1)[0]["cfg"]
 
 

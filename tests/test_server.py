@@ -104,6 +104,34 @@ def test_submit_after_close_raises():
         s.submit(np.zeros((32, 32, 3), np.uint8))
 
 
+def test_malformed_request_fails_only_itself(server):
+    """A bad image in a coalesced batch must not poison the other clients'
+    requests in the same window."""
+    bad = np.zeros((32, 32), np.uint8)           # grayscale: no channel dim
+    good = np.zeros((40, 40, 3), np.uint8)
+    f_bad = server.submit(bad)
+    f_good = server.submit(good)
+    with pytest.raises(ValueError, match="HWC-BGR"):
+        f_bad.result(timeout=120)
+    out = f_good.result(timeout=120)             # unaffected
+    assert out["boxes"].shape[1] == 6
+
+
+def test_close_drains_queued_requests():
+    """Requests still queued at close() get an explicit error, not a hang."""
+    from concurrent.futures import Future
+    s = InferenceServer(TINY, imgsz=64, max_batch=2, warmup=False)
+    # freeze the worker first so the item can't be consumed, then close():
+    # models a submit racing close into the un-drained queue
+    s._stop.set()
+    s._worker.join(timeout=10)
+    fut = Future()
+    s._q.put((np.zeros((8, 8, 3), np.uint8), fut, 0.0))
+    s.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=5)
+
+
 def _write_yaml(tmp_path, spec, name):
     import yaml
     p = tmp_path / name
