@@ -51,11 +51,55 @@ class InferenceServer:
 
     def __init__(self, model_spec, imgsz=640, max_batch=8, max_wait_ms=5.0,
                  conf=0.25, iou=0.7, max_det=300, max_nms=2048, half=False,
-                 warmup=True):
+                 warmup=True, mesh=None):
         self.imgsz = int(imgsz)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # multi-chip serving: params replicated, the request batch sharded
+        # over the mesh's leading axis — XLA SPMD splits the whole
+        # enhance+detect+NMS graph across chips (same declarative pattern as
+        # the trainer; jit follows the operands' shardings)
+        self._mesh = mesh
+        if mesh is not None:
+            assert not str(model_spec).endswith(".bin"), (
+                "exported .bin artifacts carry fixed single-device shardings; "
+                "serve the checkpoint instead to shard over a mesh")
+            assert self.max_batch % mesh.devices.size == 0, (
+                f"max_batch {self.max_batch} must divide the mesh size "
+                f"{mesh.devices.size}")
 
+        self._q: Queue = Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_images = 0
+        self._lat_ms = deque(maxlen=1024)
+        self._t_start = time.time()
+
+        # ALL device interaction — model build, jit, warmup, dispatch,
+        # readback — lives on the worker thread: remote-device transports can
+        # stall indefinitely when buffers created on one thread are read back
+        # from another
+        self._ready = threading.Event()
+        self._setup_exc = None
+        self._setup_args = (str(model_spec), conf, iou, max_det, max_nms,
+                            half, warmup)
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="dedark-batcher")
+        self._worker.start()
+        self._ready.wait(timeout=1800)
+        if self._setup_exc is not None:
+            self._stop.set()
+            raise self._setup_exc
+        if not self._ready.is_set():
+            self._stop.set()
+            raise TimeoutError("server setup (compile/warmup) timed out")
+
+    def _setup(self):
+        model_spec, conf, iou, max_det, max_nms, half, warmup = \
+            self._setup_args
+        mesh = self._mesh
         if str(model_spec).endswith(".bin"):
             # exported jax.export artifact (weight-embedded compiled program,
             # fixed shapes): the artifact's own batch/imgsz win — its .json
@@ -104,23 +148,15 @@ class InferenceServer:
                         batch_stats=y.batch_stats, names=y.names)
             self._pred = pred
             self._members = tuple(pred.members)
+            if mesh is not None:
+                from ..parallel import replicate
+                self._members = replicate(mesh, self._members)
             self._step = pred._make_step()
-
-        self._q: Queue = Queue()
-        self._stop = threading.Event()
-        self._lock = threading.Lock()
-        self._n_requests = 0
-        self._n_batches = 0
-        self._n_images = 0
-        self._lat_ms = deque(maxlen=1024)
-        self._t_start = time.time()
 
         if warmup:
             z = np.zeros((self.max_batch, self.imgsz, self.imgsz, 3), np.uint8)
-            jax.block_until_ready(self._step(self._members, z))
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="dedark-batcher")
-        self._worker.start()
+            out = self._step(self._members, z)
+            np.asarray(out["counts"])  # force a real readback, not just enqueue
 
     # ------------------------------------------------------------- client API
     def submit(self, img_bgr: np.ndarray) -> Future:
@@ -158,7 +194,7 @@ class InferenceServer:
     def close(self):
         self._stop.set()
         self._q.put(None)  # unblock the worker
-        self._worker.join(timeout=10)
+        self._worker.join(timeout=30)
         # fail anything still queued (including submits that raced close):
         # a hung-forever future is worse than an explicit error
         while True:
@@ -170,11 +206,12 @@ class InferenceServer:
                 item[1].set_exception(RuntimeError("server closed"))
 
     # ---------------------------------------------------------------- batcher
-    def _collect(self):
-        """One coalescing window: block for the first request, then drain up
-        to max_batch within max_wait_ms."""
+    def _collect(self, block=True):
+        """One coalescing window: block for the first request (unless a batch
+        is already in flight: block=False grabs only what's queued right
+        now), then drain up to max_batch within max_wait_ms."""
         try:
-            first = self._q.get(timeout=0.25)
+            first = self._q.get(timeout=0.25) if block else self._q.get_nowait()
         except Empty:
             return []
         if first is None:
@@ -195,19 +232,50 @@ class InferenceServer:
         return items
 
     def _run(self):
+        """Single-threaded depth-2 pipeline (all jax calls on one thread —
+        remote transports are not thread-safe for concurrent dispatch +
+        readback): dispatch batch i+1 BEFORE reading back batch i, so batch
+        i+1's letterbox + host->device upload overlap batch i's execution.
+        With nothing queued, the pending batch resolves immediately."""
+        try:
+            self._setup()
+        except Exception as e:
+            self._setup_exc = e
+            self._ready.set()
+            return
+        self._ready.set()
+        pending = None
         while not self._stop.is_set():
-            items = self._collect()
-            if not items:
-                continue
-            try:
-                self._infer(items)
-            except Exception as e:  # propagate to the waiting clients
-                LOGGER.error(f"serving batch failed: {e}")
-                for _, fut, _ in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+            if pending is None:
+                items = self._collect()          # blocking coalesce window
+            else:
+                items = self._collect(block=False)  # grab what's queued NOW
+            dispatched = None
+            if items:
+                try:
+                    dispatched = self._dispatch(items)
+                except Exception as e:  # propagate to the waiting clients
+                    LOGGER.error(f"serving batch failed: {e}")
+                    for _, fut, _ in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            if pending is not None:
+                self._finish(pending)
+            pending = dispatched
+        if pending is not None:
+            self._finish(pending)
 
-    def _infer(self, items):
+    def _finish(self, pending):
+        items, shapes, out = pending
+        try:
+            self._demux(items, shapes, out)
+        except Exception as e:
+            LOGGER.error(f"serving readback failed: {e}")
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _dispatch(self, items):
         # per-item validation FIRST: one malformed request must fail only its
         # own future, never the other clients coalesced into the same batch
         good = []
@@ -223,7 +291,7 @@ class InferenceServer:
                     f"{getattr(img, 'shape', type(img).__name__)}"))
         items = good
         if not items:
-            return
+            return None
         n = len(items)
         sz = self.imgsz
         shapes = [img.shape[:2] for img, _, _ in items]
@@ -239,10 +307,18 @@ class InferenceServer:
             for i, (img, _, _) in enumerate(items):
                 lb, _, _ = letterbox(img, sz)
                 batch[i] = lb[..., ::-1]  # BGR -> RGB
-        out = self._step(self._members, batch)
-        dets = np.asarray(out["dets"])
+        if self._mesh is not None:
+            from ..parallel import batch_sharding
+            batch = jax.device_put(batch, batch_sharding(self._mesh))
+        out = self._step(self._members, batch)  # async dispatch
+        return items, shapes, out
+
+    def _demux(self, items, shapes, out):
+        dets = np.asarray(out["dets"])   # blocks until the batch completes
         counts = np.asarray(out["counts"])
         t_done = time.perf_counter()
+        n = len(items)
+        sz = self.imgsz
         with self._lock:
             self._n_batches += 1
             self._n_images += n

@@ -175,6 +175,35 @@ def test_serve_pose_task(tmp_path):
         s.close()
 
 
+def test_mesh_sharded_serving():
+    """Requests served over an 8-device data mesh: params replicated, the
+    coalesced batch sharded — XLA SPMD splits the whole serving graph."""
+    from dedark_yolo_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    s = InferenceServer(TINY, imgsz=64, max_batch=8, max_wait_ms=20.0,
+                        conf=0.001, max_det=10, mesh=mesh)
+    try:
+        futs = [s.submit(np.full((48, 48, 3), 60 + 10 * i, np.uint8))
+                for i in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+        for out in outs:
+            assert out["boxes"].shape[1] == 6
+        # one mesh-sharded result must equal the single-device server's
+        s2 = InferenceServer(TINY, imgsz=64, max_batch=8, max_wait_ms=1.0,
+                             conf=0.001, max_det=10, warmup=False)
+        try:
+            ref = s2.predict(np.full((48, 48, 3), 60, np.uint8))
+            np.testing.assert_allclose(outs[0]["boxes"], ref["boxes"],
+                                       rtol=1e-4, atol=5e-3)
+        finally:
+            s2.close()
+        with pytest.raises(AssertionError, match="divide"):
+            InferenceServer(TINY, imgsz=64, max_batch=3, warmup=False,
+                            mesh=mesh)
+    finally:
+        s.close()
+
+
 def test_classify_rejected():
     import yaml as _y
     spec = {"nc": 3, "backbone": [[-1, 1, "Conv", [8, 3, 2]]],
