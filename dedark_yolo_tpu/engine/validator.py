@@ -148,72 +148,91 @@ class DetectionValidator:
 
         jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
         orig_shapes = ds.image_shapes()   # true original (h, w) per dataset index
-        for dl in loaders:
-            order = dl._indices()   # shuffle=False: batches chunk this order
-            cursor = 0
-            for batch in dl:
-                bsz = batch["img"].shape[0]
-                ds_idxs = order[cursor:cursor + bsz]
-                cursor += bsz
-                t0 = time.perf_counter()
-                dev_batch = (shard_batch(mesh, batch)
-                             if n_dev > 1 and bsz % n_dev == 0 else batch)
-                out = val_step(params, batch_stats, dev_batch)
-                dets = np.asarray(out["dets"])
-                counts = np.asarray(out["counts"])
-                jax.block_until_ready(dets)
-                t_inf += time.perf_counter() - t0
 
-                if with_loss:
-                    loss_accum += np.asarray(out["loss_items"])
-                n_batches += 1
+        def gen_batches():
+            for dl in loaders:
+                order = dl._indices()  # shuffle=False: batches chunk this order
+                cursor = 0
+                for batch in dl:
+                    bsz = batch["img"].shape[0]
+                    ds_idxs = order[cursor:cursor + bsz]
+                    cursor += bsz
+                    yield batch, ds_idxs
 
-                t1 = time.perf_counter()
-                bh, bw = batch["img"].shape[1], batch["img"].shape[2]
-                for i in range(bsz):
-                    n_images += 1
-                    idx = ds_idxs[i]
-                    h0, w0 = (int(orig_shapes[idx][0]), int(orig_shapes[idx][1]))
-                    k = int(counts[i])
-                    det = dets[i, :k].copy()   # (k, 6) xyxy conf cls (letterbox)
-                    if k:
-                        # letterbox-inverse to original image space
-                        # (reference detect/val.py:84-116 / ops.py:95-125)
-                        det[:, :4] = np.asarray(scale_boxes(
-                            (bh, bw), jnp.asarray(det[:, :4]), (h0, w0)))
-                    # ground truth in native space from the original labels
-                    lb = ds.labels[idx]
-                    gt_cls = lb[:, 0].copy().astype(np.float32)
-                    if a.single_cls:
-                        gt_cls[:] = 0
-                    if len(lb):
-                        gt_xywh = lb[:, 1:5] * np.asarray([w0, h0, w0, h0],
-                                                          np.float32)
-                        gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh)))
-                    else:
-                        gt_xyxy = np.zeros((0, 4), np.float32)
-                    tp = match_predictions(det[:, :4], det[:, 5], gt_xyxy, gt_cls)
-                    stats["tp"].append(tp)
-                    stats["conf"].append(det[:, 4])
-                    stats["pred_cls"].append(det[:, 5])
-                    stats["target_cls"].append(gt_cls)
-                    if a.plots:
-                        cm.process_batch(det, gt_xyxy, gt_cls)
-                    if a.save_json:
-                        # native-space xywh + filename-derived id
-                        # (reference detect/val.py:221-236 pred_to_json)
-                        stem = Path(ds.im_files[idx]).stem
-                        image_id = int(stem) if stem.isnumeric() else stem
-                        for d in det:
-                            jdict.append({
-                                "image_id": image_id,
-                                "category_id": int(d[5]),
-                                "bbox": [round(float(d[0]), 3),
-                                         round(float(d[1]), 3),
-                                         round(float(d[2] - d[0]), 3),
-                                         round(float(d[3] - d[1]), 3)],
-                                "score": round(float(d[4]), 5)})
-                t_post += time.perf_counter() - t1
+        def process(out, batch, ds_idxs):
+            nonlocal loss_accum, n_batches, n_images, t_inf, t_post
+            bsz = batch["img"].shape[0]
+            t0 = time.perf_counter()
+            dets = np.asarray(out["dets"])   # blocks until the batch finishes
+            counts = np.asarray(out["counts"])
+            t_inf += time.perf_counter() - t0
+            if with_loss:
+                loss_accum += np.asarray(out["loss_items"])
+            n_batches += 1
+
+            t1 = time.perf_counter()
+            bh, bw = batch["img"].shape[1], batch["img"].shape[2]
+            for i in range(bsz):
+                n_images += 1
+                idx = ds_idxs[i]
+                h0, w0 = (int(orig_shapes[idx][0]), int(orig_shapes[idx][1]))
+                k = int(counts[i])
+                det = dets[i, :k].copy()   # (k, 6) xyxy conf cls (letterbox)
+                if k:
+                    # letterbox-inverse to original image space
+                    # (reference detect/val.py:84-116 / ops.py:95-125)
+                    det[:, :4] = np.asarray(scale_boxes(
+                        (bh, bw), jnp.asarray(det[:, :4]), (h0, w0)))
+                # ground truth in native space from the original labels
+                lb = ds.labels[idx]
+                gt_cls = lb[:, 0].copy().astype(np.float32)
+                if a.single_cls:
+                    gt_cls[:] = 0
+                if len(lb):
+                    gt_xywh = lb[:, 1:5] * np.asarray([w0, h0, w0, h0],
+                                                      np.float32)
+                    gt_xyxy = np.asarray(xywh2xyxy(jnp.asarray(gt_xywh)))
+                else:
+                    gt_xyxy = np.zeros((0, 4), np.float32)
+                tp = match_predictions(det[:, :4], det[:, 5], gt_xyxy, gt_cls)
+                stats["tp"].append(tp)
+                stats["conf"].append(det[:, 4])
+                stats["pred_cls"].append(det[:, 5])
+                stats["target_cls"].append(gt_cls)
+                if a.plots:
+                    cm.process_batch(det, gt_xyxy, gt_cls)
+                if a.save_json:
+                    # native-space xywh + filename-derived id
+                    # (reference detect/val.py:221-236 pred_to_json)
+                    stem = Path(ds.im_files[idx]).stem
+                    image_id = int(stem) if stem.isnumeric() else stem
+                    for d in det:
+                        jdict.append({
+                            "image_id": image_id,
+                            "category_id": int(d[5]),
+                            "bbox": [round(float(d[0]), 3),
+                                     round(float(d[1]), 3),
+                                     round(float(d[2] - d[0]), 3),
+                                     round(float(d[3] - d[1]), 3)],
+                            "score": round(float(d[4]), 5)})
+            t_post += time.perf_counter() - t1
+
+        # depth-2 pipeline: dispatch batch i+1 before reading back batch i —
+        # the next batch's host->device upload and XLA execution overlap this
+        # batch's readback + host-side matching (one thread, like bench.py)
+        pending = None
+        for batch, ds_idxs in gen_batches():
+            t0 = time.perf_counter()
+            bsz = batch["img"].shape[0]
+            dev_batch = (shard_batch(mesh, batch)
+                         if n_dev > 1 and bsz % n_dev == 0 else batch)
+            out = val_step(params, batch_stats, dev_batch)  # async dispatch
+            t_inf += time.perf_counter() - t0
+            if pending is not None:
+                process(*pending)
+            pending = (out, batch, ds_idxs)
+        if pending is not None:
+            process(*pending)
 
         if n_images == 0:
             return {}
