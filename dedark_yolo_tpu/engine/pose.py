@@ -152,15 +152,11 @@ class PoseValidator:
         iouv = np.linspace(0.5, 0.95, 10)
         n_images = 0
         bs = max(int(a.batch), 1)
-        for start in range(0, len(ds), bs):
-            idxs = list(range(start, min(start + bs, len(ds))))
-            items = [ds.load(i) for i in idxs]
-            while len(items) < bs:
-                items.append(items[0])
-            batch = collate_pose(items, max_boxes=a.max_boxes, nk=nk)
+
+        def process(out, batch, idxs):
+            nonlocal n_images
             dets, counts, aidx, kpts = jax.tree_util.tree_map(
-                np.asarray, val_step(params, batch_stats,
-                                     jnp.asarray(batch["img"])))
+                np.asarray, out)   # blocks until the batch finishes
             s = batch["img"].shape[1]
             for i in range(len(idxs)):
                 n_images += 1
@@ -201,6 +197,21 @@ class PoseValidator:
                 kpt_stats["conf"].append(det[:, 4])
                 kpt_stats["pred_cls"].append(det[:, 5])
                 kpt_stats["target_cls"].append(gt_cls)
+
+        # depth-2 pipeline: dispatch batch i+1 before reading back batch i
+        pending = None
+        for start in range(0, len(ds), bs):
+            idxs = list(range(start, min(start + bs, len(ds))))
+            items = [ds.load(i) for i in idxs]
+            while len(items) < bs:
+                items.append(items[0])
+            batch = collate_pose(items, max_boxes=a.max_boxes, nk=nk)
+            out = val_step(params, batch_stats, jnp.asarray(batch["img"]))
+            if pending is not None:
+                process(*pending)
+            pending = (out, batch, idxs)
+        if pending is not None:
+            process(*pending)
 
         results = {}
         fitness = 0.0

@@ -129,16 +129,11 @@ class SegmentationValidator:
         mask_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         n_images = 0
         bs = max(int(a.batch), 1)
-        for start in range(0, len(ds), bs):
-            idxs = list(range(start, min(start + bs, len(ds))))
-            items = [ds.load(i) for i in idxs]
-            while len(items) < bs:
-                items.append(items[0])
-            batch = collate_segment(items, max_boxes=a.max_boxes,
-                                    mask_ratio=a.mask_ratio)
+
+        def process(out, batch, idxs):
+            nonlocal n_images
             dets, counts, aidx, coef_flat, protos = jax.tree_util.tree_map(
-                np.asarray, val_step(params, batch_stats,
-                                     jnp.asarray(batch["img"])))
+                np.asarray, out)   # blocks until the batch finishes
             s = batch["img"].shape[1]
             mh, mw = protos.shape[1], protos.shape[2]
             for i in range(len(idxs)):
@@ -167,6 +162,23 @@ class SegmentationValidator:
                 mask_stats["conf"].append(det[:, 4])
                 mask_stats["pred_cls"].append(det[:, 5])
                 mask_stats["target_cls"].append(gt_cls)
+
+        # depth-2 pipeline: dispatch batch i+1 before reading back batch i
+        # (mask-IoU host work is heavy — it overlaps the next batch's forward)
+        pending = None
+        for start in range(0, len(ds), bs):
+            idxs = list(range(start, min(start + bs, len(ds))))
+            items = [ds.load(i) for i in idxs]
+            while len(items) < bs:
+                items.append(items[0])
+            batch = collate_segment(items, max_boxes=a.max_boxes,
+                                    mask_ratio=a.mask_ratio)
+            out = val_step(params, batch_stats, jnp.asarray(batch["img"]))
+            if pending is not None:
+                process(*pending)
+            pending = (out, batch, idxs)
+        if pending is not None:
+            process(*pending)
 
         results = {}
         fitness = 0.0
