@@ -165,10 +165,12 @@ class DetectionPredictor:
         from .. import native as _native
         use_native = _native.available()
 
-        def flush():
+        def dispatch():
+            """Letterbox + submit the buffered batch; returns a pending record
+            (results are read back later, in demux)."""
             nonlocal buf_paths, buf_imgs, buf_orig, buf_meta
             if not buf_imgs:
-                return
+                return None
             n = len(buf_imgs)
             t0 = time.perf_counter()
             if use_native:
@@ -181,7 +183,13 @@ class DetectionPredictor:
                     buf_imgs.append(np.zeros_like(buf_imgs[0]))
                 arr = np.stack(buf_imgs)
             out = self._step(tuple(self.members), jnp.asarray(arr))
-            dets = np.asarray(out["dets"])
+            rec = (out, n, t0, buf_paths, buf_orig, buf_meta)
+            buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
+            return rec
+
+        def demux(rec):
+            out, n, t0, paths, origs, metas = rec
+            dets = np.asarray(out["dets"])   # blocks until the batch finishes
             counts = np.asarray(out["counts"])
             enhanced = (np.asarray(out["enhanced"]) if "enhanced" in out else None)
             t_inf = (time.perf_counter() - t0) / n * 1000
@@ -189,24 +197,26 @@ class DetectionPredictor:
             for i in range(n):
                 k = int(counts[i])
                 det = dets[i, :k].copy()
-                orig = buf_orig[i]
+                orig = origs[i]
                 if k:
                     det[:, :4] = np.asarray(scale_boxes(
                         (imgsz, imgsz), jnp.asarray(det[:, :4]), orig.shape[:2]))
                 res = Results(
                     orig_img=np.ascontiguousarray(orig[..., ::-1]),
-                    path=buf_paths[i], names=self.names, boxes=det,
+                    path=paths[i], names=self.names, boxes=det,
                     speed={"inference": t_inf},
                     enhanced_img=(enhanced[i] if enhanced is not None else None),
                     **self.extra_fields(out, i, k, orig.shape[:2], imgsz))
                 if a.save or a.save_txt or a.save_crop or a.save_enhanced:
-                    self._write(res, buf_meta[i])
+                    self._write(res, metas[i])
                 yield res
-            buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
 
+        # depth-2 pipeline: batch i+1's decode/letterbox/upload overlap batch
+        # i's device execution; results still stream in source order
+        pending = None
         for path, img, meta in load_source(source, vid_stride=int(a.vid_stride)):
             if use_native:
-                buf_imgs.append(img)  # letterboxed in C++ at flush time
+                buf_imgs.append(img)  # letterboxed in C++ at dispatch time
             else:
                 lb, _, _ = letterbox(img, imgsz)
                 buf_imgs.append(np.ascontiguousarray(lb[..., ::-1]))  # RGB
@@ -214,8 +224,15 @@ class DetectionPredictor:
             buf_orig.append(img)
             buf_meta.append(meta)
             if len(buf_imgs) == batch_size:
-                yield from flush()
-        yield from flush()
+                newly = dispatch()
+                if pending is not None:
+                    yield from demux(pending)
+                pending = newly
+        newly = dispatch()
+        if pending is not None:
+            yield from demux(pending)
+        if newly is not None:
+            yield from demux(newly)
         for w in self._writers.values():
             w.release()
         self._writers = {}
