@@ -291,6 +291,24 @@ class BaseTrainer:
         self.run_callbacks("on_train_start")
 
         t_train = time.time()
+        # graceful preemption: SIGTERM/SIGINT finish the current epoch, write
+        # the checkpoint, and stop cleanly (a resumable last.npz instead of a
+        # torn run — TPU pods get preempted; the reference has no handler)
+        import signal
+        self._interrupted = False
+        _prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            self._interrupted = True
+            LOGGER.info(f"signal {signum}: will checkpoint and stop after "
+                        "this epoch (resume with resume=True)")
+
+        try:
+            for _sig in (signal.SIGTERM, signal.SIGINT):
+                _prev_handlers[_sig] = signal.signal(_sig, _on_signal)
+        except ValueError:
+            _prev_handlers = {}  # not the main thread: run unguarded
+
         # resumed runs continue the decayed LR curve and skip warmup
         # (reference restores scheduler.last_epoch on resume)
         step = start_epoch * nb
@@ -339,6 +357,7 @@ class BaseTrainer:
             mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
                                                   for it in items_log])), axis=0)
             epoch_time = time.time() - t0
+            self.run_callbacks("on_train_epoch_end")
             lr_now = self._lr_at(step, "weight")
 
             # per-epoch validation with EMA params+stats, fp32 (validator.py:102-111)
@@ -378,9 +397,15 @@ class BaseTrainer:
                 LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
                             f"(no improvement for {a.patience} epochs)")
                 stop = True
+            if self._interrupted:
+                LOGGER.info(f"interrupted: stopping after epoch {epoch + 1} "
+                            "(checkpoint written)")
+                stop = True
             if stop:
                 break
 
+        for _sig, _h in _prev_handlers.items():
+            signal.signal(_sig, _h)
         self._ckpt_drain()  # all queued checkpoint writes must be on disk
         LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
                     f"results in {self.save_dir}")

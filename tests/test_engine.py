@@ -76,6 +76,10 @@ def test_predict_and_save(trained, synth_yaml, tmp_path):
         assert (r.boxes.xyxy[:, 3] <= h + 1).all()
     js = r.tojson()
     assert js.startswith("[")
+    # pipelined batching must preserve source order (sorted dir listing)
+    import glob
+    expected = sorted(glob.glob(str(Path(img_dir) / "*")))
+    assert [x.path for x in results] == expected
     # save_crop: one crop per detection under crops/<class-name>/ (reference
     # results.py save_crop)
     n_dets = sum(len(x.boxes) for x in results)
@@ -111,6 +115,32 @@ def test_final_eval_reports_best(synth_yaml, tmp_path):
                           warmup_epochs=0.5, plots=False, val=True)
     meta, _ = load_checkpoint(tmp_path / "fe" / "weights" / "best.npz")
     assert metrics["fitness"] == pytest.approx(meta["best_fitness"], abs=1e-5)
+
+
+def test_sigterm_graceful_stop(synth_yaml, tmp_path):
+    """SIGTERM mid-training finishes the epoch, checkpoints, and stops cleanly
+    with a resumable last.npz (preemption handling; no reference counterpart)."""
+    import os
+    import signal
+    from dedark_yolo_tpu.engine.trainer import DetectionTrainer
+
+    trainer = DetectionTrainer(dict(
+        model=TINY, data=synth_yaml, epochs=50, imgsz=96, batch=8,
+        mesh_shape=[2], workers=2, project=str(tmp_path), name="sig",
+        max_boxes=16, max_nms=256, max_det=20, warmup_epochs=0.5, plots=False,
+        val=False, mode="train"))
+    # deliver SIGTERM mid-run, after the trainer's handler is installed
+    trainer.callbacks["on_train_epoch_end"].append(
+        lambda t: os.kill(os.getpid(), signal.SIGTERM)
+        if t.epoch == 1 else None)   # fires mid-run, after handler install
+    trainer.train()
+    run = tmp_path / "sig"
+    rows = (run / "results.csv").read_text().strip().splitlines()[1:]
+    assert len(rows) == 2               # stopped cleanly after epoch 2 of 50
+    assert (run / "weights" / "last.npz").is_file()
+    # handler restored: SIGTERM is no longer swallowed by our hook
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.SIG_IGN,
+                                                signal.default_int_handler)
 
 
 def test_export_stablehlo(trained, tmp_path):
