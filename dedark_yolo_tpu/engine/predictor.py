@@ -183,16 +183,21 @@ class DetectionPredictor:
                     buf_imgs.append(np.zeros_like(buf_imgs[0]))
                 arr = np.stack(buf_imgs)
             out = self._step(tuple(self.members), jnp.asarray(arr))
-            rec = (out, n, t0, buf_paths, buf_orig, buf_meta)
+            # letterbox+upload+dispatch time; the readback block is added in
+            # demux — NOT wall time between the two, which under pipelining
+            # would count the next batch's host work as inference
+            t_disp = time.perf_counter() - t0
+            rec = (out, n, t_disp, buf_paths, buf_orig, buf_meta)
             buf_paths, buf_imgs, buf_orig, buf_meta = [], [], [], []
             return rec
 
         def demux(rec):
-            out, n, t0, paths, origs, metas = rec
+            out, n, t_disp, paths, origs, metas = rec
+            t1 = time.perf_counter()
             dets = np.asarray(out["dets"])   # blocks until the batch finishes
             counts = np.asarray(out["counts"])
             enhanced = (np.asarray(out["enhanced"]) if "enhanced" in out else None)
-            t_inf = (time.perf_counter() - t0) / n * 1000
+            t_inf = (t_disp + time.perf_counter() - t1) / n * 1000
 
             for i in range(n):
                 k = int(counts[i])

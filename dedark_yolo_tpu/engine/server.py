@@ -65,8 +65,8 @@ class InferenceServer:
                 "exported .bin artifacts carry fixed single-device shardings; "
                 "serve the checkpoint instead to shard over a mesh")
             assert self.max_batch % mesh.devices.size == 0, (
-                f"max_batch {self.max_batch} must divide the mesh size "
-                f"{mesh.devices.size}")
+                f"max_batch {self.max_batch} must be a multiple of the mesh "
+                f"size {mesh.devices.size}")
 
         self._q: Queue = Queue()
         self._stop = threading.Event()
@@ -155,6 +155,11 @@ class InferenceServer:
 
         if warmup:
             z = np.zeros((self.max_batch, self.imgsz, self.imgsz, 3), np.uint8)
+            if mesh is not None:
+                # warm up with the REAL input sharding or the first request
+                # recompiles (jit caches by operand sharding, not just shape)
+                from ..parallel import batch_sharding
+                z = jax.device_put(z, batch_sharding(mesh))
             out = self._step(self._members, z)
             np.asarray(out["counts"])  # force a real readback, not just enqueue
 
@@ -190,6 +195,13 @@ class InferenceServer:
                 "imgsz": self.imgsz,
                 "max_batch": self.max_batch,
             }
+
+    def reset_stats(self):
+        """Zero the counters/latency window (e.g. between load phases)."""
+        with self._lock:
+            self._n_requests = self._n_batches = self._n_images = 0
+            self._lat_ms.clear()
+            self._t_start = time.time()
 
     def close(self):
         self._stop.set()

@@ -299,9 +299,16 @@ class BaseTrainer:
         _prev_handlers = {}
 
         def _on_signal(signum, frame):
+            if self._interrupted:
+                # second signal escalates: restore the previous handlers and
+                # abort immediately (a long epoch / compile must stay killable)
+                for _s, _h in _prev_handlers.items():
+                    signal.signal(_s, _h)
+                raise KeyboardInterrupt
             self._interrupted = True
             LOGGER.info(f"signal {signum}: will checkpoint and stop after "
-                        "this epoch (resume with resume=True)")
+                        "this epoch (resume with resume=True); repeat to "
+                        "abort immediately")
 
         try:
             for _sig in (signal.SIGTERM, signal.SIGINT):
@@ -313,100 +320,104 @@ class BaseTrainer:
         # (reference restores scheduler.last_epoch on resume)
         step = start_epoch * nb
         stop = False
-        for epoch in range(start_epoch, a.epochs):
-            self.epoch = epoch
-            self.run_callbacks("on_train_epoch_start")
-            train_dl.set_epoch(epoch)
-            # close_mosaic (reference trainer.py close_mosaic / dataset.py:152-157)
-            if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
-                self.close_augment()
-            t0 = time.time()
-            items_log = []  # device arrays; synced once per epoch so the host
-            # loop never blocks on the step (async dispatch overlaps data prep)
-            for bi, batch in enumerate(train_dl):
-                self.run_callbacks("on_train_batch_start")
-                if a.plots and epoch == start_epoch and bi < 3 \
-                        and jax.process_index() == 0:
-                    # train-batch mosaics (reference plot_images, plotting.py:312)
-                    try:
-                        from ..utils.plotting import plot_images
-                        plot_images(batch, self.save_dir / f"train_batch{bi}.jpg",
-                                    names=self.data.get("names"))
-                    except Exception:
-                        pass
-                if a.profile and epoch == start_epoch and bi == 2 \
-                        and jax.process_index() == 0:
-                    # one traced step after warmup (reference profiles per layer
-                    # with thop, tasks.py:129-151; on TPU the unit is the XLA
-                    # trace, viewable in TensorBoard/xprof)
-                    jax.profiler.start_trace(str(self.save_dir / "profile"))
-                dev_batch = shard_batch(mesh, batch)
-                (params, batch_stats, opt_state, ema, ema_updates,
-                 total, items) = train_step(
-                    params, batch_stats, opt_state, ema, ema_updates,
-                    dev_batch, jnp.float32(self._lr_at(step, "bias")),
-                    jnp.float32(self._lr_at(step, "weight")),
-                    jnp.float32(self._momentum_at(step)))
-                items_log.append(items)
-                if a.profile and epoch == start_epoch and bi == 2 \
-                        and jax.process_index() == 0:
-                    jax.block_until_ready(total)
-                    jax.profiler.stop_trace()
-                step += 1
-                self.run_callbacks("on_train_batch_end")
-            mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
-                                                  for it in items_log])), axis=0)
-            epoch_time = time.time() - t0
-            self.run_callbacks("on_train_epoch_end")
-            lr_now = self._lr_at(step, "weight")
+        try:
+            for epoch in range(start_epoch, a.epochs):
+                self.epoch = epoch
+                self.run_callbacks("on_train_epoch_start")
+                train_dl.set_epoch(epoch)
+                # close_mosaic (reference trainer.py close_mosaic / dataset.py:152-157)
+                if a.close_mosaic and epoch >= a.epochs - a.close_mosaic:
+                    self.close_augment()
+                t0 = time.time()
+                items_log = []  # device arrays; synced once per epoch so the host
+                # loop never blocks on the step (async dispatch overlaps data prep)
+                for bi, batch in enumerate(train_dl):
+                    self.run_callbacks("on_train_batch_start")
+                    if a.plots and epoch == start_epoch and bi < 3 \
+                            and jax.process_index() == 0:
+                        # train-batch mosaics (reference plot_images, plotting.py:312)
+                        try:
+                            from ..utils.plotting import plot_images
+                            plot_images(batch, self.save_dir / f"train_batch{bi}.jpg",
+                                        names=self.data.get("names"))
+                        except Exception:
+                            pass
+                    if a.profile and epoch == start_epoch and bi == 2 \
+                            and jax.process_index() == 0:
+                        # one traced step after warmup (reference profiles per layer
+                        # with thop, tasks.py:129-151; on TPU the unit is the XLA
+                        # trace, viewable in TensorBoard/xprof)
+                        jax.profiler.start_trace(str(self.save_dir / "profile"))
+                    dev_batch = shard_batch(mesh, batch)
+                    (params, batch_stats, opt_state, ema, ema_updates,
+                     total, items) = train_step(
+                        params, batch_stats, opt_state, ema, ema_updates,
+                        dev_batch, jnp.float32(self._lr_at(step, "bias")),
+                        jnp.float32(self._lr_at(step, "weight")),
+                        jnp.float32(self._momentum_at(step)))
+                    items_log.append(items)
+                    if a.profile and epoch == start_epoch and bi == 2 \
+                            and jax.process_index() == 0:
+                        jax.block_until_ready(total)
+                        jax.profiler.stop_trace()
+                    step += 1
+                    self.run_callbacks("on_train_batch_end")
+                mloss = np.mean(np.asarray(jnp.stack([jnp.stack(list(it))
+                                                      for it in items_log])), axis=0)
+                epoch_time = time.time() - t0
+                self.run_callbacks("on_train_epoch_end")
+                lr_now = self._lr_at(step, "weight")
 
-            # per-epoch validation with EMA params+stats, fp32 (validator.py:102-111)
-            fitness = 0.0
-            metrics = {}
-            t_val = time.time()
-            if a.val and jax.process_index() == 0:
-                if not hasattr(self, "_validator"):
-                    # construct ONCE: the jitted val step is cached on the
-                    # validator, so per-epoch val reuses one compiled graph
-                    self._validator = self.get_validator()
-                metrics = self._validator(model=model, params=ema["params"],
-                                          batch_stats=ema["batch_stats"],
-                                          mesh=mesh)
-                fitness = metrics.get("fitness", 0.0)
-            t_val = time.time() - t_val
-            self.metrics = metrics
+                # per-epoch validation with EMA params+stats, fp32 (validator.py:102-111)
+                fitness = 0.0
+                metrics = {}
+                t_val = time.time()
+                if a.val and jax.process_index() == 0:
+                    if not hasattr(self, "_validator"):
+                        # construct ONCE: the jitted val step is cached on the
+                        # validator, so per-epoch val reuses one compiled graph
+                        self._validator = self.get_validator()
+                    metrics = self._validator(model=model, params=ema["params"],
+                                              batch_stats=ema["batch_stats"],
+                                              mesh=mesh)
+                    fitness = metrics.get("fitness", 0.0)
+                t_val = time.time() - t_val
+                self.metrics = metrics
 
-            loss_str = " ".join(f"{n} {v:.4f}"
-                                for n, v in zip(self.loss_names, mloss))
-            self._save_csv(epoch, mloss, metrics, lr_now)
+                loss_str = " ".join(f"{n} {v:.4f}"
+                                    for n, v in zip(self.loss_names, mloss))
+                self._save_csv(epoch, mloss, metrics, lr_now)
 
-            improved = fitness >= self.best_fitness
-            if improved:
-                self.best_fitness = fitness
-            t_ckpt = time.time()
-            if a.save and jax.process_index() == 0:
-                self._save_ckpt(params, batch_stats, ema, ema_updates,
-                                opt_state, epoch, improved)
-            t_ckpt = time.time() - t_ckpt
-            LOGGER.info(
-                f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
-                f"fitness {fitness:.4f} (train {epoch_time:.1f}s val {t_val:.1f}s"
-                f" ckpt {t_ckpt:.1f}s)")
-            self.run_callbacks("on_fit_epoch_end")
-            if stopper(epoch, fitness):
-                LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
-                            f"(no improvement for {a.patience} epochs)")
-                stop = True
-            if self._interrupted:
-                LOGGER.info(f"interrupted: stopping after epoch {epoch + 1} "
-                            "(checkpoint written)")
-                stop = True
-            if stop:
-                break
-
-        for _sig, _h in _prev_handlers.items():
-            signal.signal(_sig, _h)
-        self._ckpt_drain()  # all queued checkpoint writes must be on disk
+                improved = fitness >= self.best_fitness
+                if improved:
+                    self.best_fitness = fitness
+                t_ckpt = time.time()
+                if a.save and jax.process_index() == 0:
+                    self._save_ckpt(params, batch_stats, ema, ema_updates,
+                                    opt_state, epoch, improved)
+                t_ckpt = time.time() - t_ckpt
+                LOGGER.info(
+                    f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
+                    f"fitness {fitness:.4f} (train {epoch_time:.1f}s val {t_val:.1f}s"
+                    f" ckpt {t_ckpt:.1f}s)")
+                self.run_callbacks("on_fit_epoch_end")
+                if stopper(epoch, fitness):
+                    LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
+                                f"(no improvement for {a.patience} epochs)")
+                    stop = True
+                if self._interrupted:
+                    LOGGER.info(f"interrupted: stopping after epoch {epoch + 1} "
+                                "(checkpoint written)")
+                    stop = True
+                if stop:
+                    break
+        finally:
+            # flush queued checkpoint writes BEFORE restoring handlers (a
+            # follow-up SIGTERM during the flush must not tear last.npz), and
+            # restore even when the loop raises
+            self._ckpt_drain()
+            for _sig, _h in _prev_handlers.items():
+                signal.signal(_sig, _h)
         LOGGER.info(f"training done in {(time.time() - t_train) / 3600:.3f}h; "
                     f"results in {self.save_dir}")
         # final eval: the returned metrics are the BEST checkpoint's (EMA

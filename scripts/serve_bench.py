@@ -50,8 +50,9 @@ def main():
         srv.predict(imgs[i % len(imgs)])
         lats.append((time.perf_counter() - t) * 1e3)
     lats.sort()
-    print(f"unloaded: p50 {lats[5]:.1f} ms  p90 {lats[9]:.1f} ms "
+    print(f"unloaded: p50 {lats[5]:.1f} ms  max {lats[-1]:.1f} ms "
           f"(occupancy {srv.stats()['mean_batch_occupancy']:.2f})")
+    srv.reset_stats()  # keep the loaded-phase percentiles uncontaminated
 
     # phase 2: saturation with concurrent clients
     n_ok = [0]

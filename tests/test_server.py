@@ -197,7 +197,7 @@ def test_mesh_sharded_serving():
                                        rtol=1e-4, atol=5e-3)
         finally:
             s2.close()
-        with pytest.raises(AssertionError, match="divide"):
+        with pytest.raises(AssertionError, match="multiple of the mesh"):
             InferenceServer(TINY, imgsz=64, max_batch=3, warmup=False,
                             mesh=mesh)
     finally:
