@@ -199,19 +199,17 @@ class PoseValidator:
                 kpt_stats["target_cls"].append(gt_cls)
 
         # depth-2 pipeline: dispatch batch i+1 before reading back batch i
-        pending = None
-        for start in range(0, len(ds), bs):
+        def dispatch(start):
             idxs = list(range(start, min(start + bs, len(ds))))
             items = [ds.load(i) for i in idxs]
             while len(items) < bs:
                 items.append(items[0])
             batch = collate_pose(items, max_boxes=a.max_boxes, nk=nk)
             out = val_step(params, batch_stats, jnp.asarray(batch["img"]))
-            if pending is not None:
-                process(*pending)
-            pending = (out, batch, idxs)
-        if pending is not None:
-            process(*pending)
+            return out, batch, idxs
+
+        from ..utils.pipeline import pipelined
+        pipelined(range(0, len(ds), bs), dispatch, lambda rec: process(*rec))
 
         results = {}
         fitness = 0.0

@@ -165,8 +165,7 @@ class SegmentationValidator:
 
         # depth-2 pipeline: dispatch batch i+1 before reading back batch i
         # (mask-IoU host work is heavy — it overlaps the next batch's forward)
-        pending = None
-        for start in range(0, len(ds), bs):
+        def dispatch(start):
             idxs = list(range(start, min(start + bs, len(ds))))
             items = [ds.load(i) for i in idxs]
             while len(items) < bs:
@@ -174,11 +173,10 @@ class SegmentationValidator:
             batch = collate_segment(items, max_boxes=a.max_boxes,
                                     mask_ratio=a.mask_ratio)
             out = val_step(params, batch_stats, jnp.asarray(batch["img"]))
-            if pending is not None:
-                process(*pending)
-            pending = (out, batch, idxs)
-        if pending is not None:
-            process(*pending)
+            return out, batch, idxs
+
+        from ..utils.pipeline import pipelined
+        pipelined(range(0, len(ds), bs), dispatch, lambda rec: process(*rec))
 
         results = {}
         fitness = 0.0

@@ -219,20 +219,20 @@ class DetectionValidator:
 
         # depth-2 pipeline: dispatch batch i+1 before reading back batch i —
         # the next batch's host->device upload and XLA execution overlap this
-        # batch's readback + host-side matching (one thread, like bench.py)
-        pending = None
-        for batch, ds_idxs in gen_batches():
+        # batch's readback + host-side matching (utils/pipeline.py)
+        def dispatch(item):
+            nonlocal t_inf
+            batch, ds_idxs = item
             t0 = time.perf_counter()
             bsz = batch["img"].shape[0]
             dev_batch = (shard_batch(mesh, batch)
                          if n_dev > 1 and bsz % n_dev == 0 else batch)
             out = val_step(params, batch_stats, dev_batch)  # async dispatch
             t_inf += time.perf_counter() - t0
-            if pending is not None:
-                process(*pending)
-            pending = (out, batch, ds_idxs)
-        if pending is not None:
-            process(*pending)
+            return out, batch, ds_idxs
+
+        from ..utils.pipeline import pipelined
+        pipelined(gen_batches(), dispatch, lambda rec: process(*rec))
 
         if n_images == 0:
             return {}
