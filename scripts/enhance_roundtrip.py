@@ -4,9 +4,15 @@ Sweeps lowlight_param 3..10, degrades a clean image, runs the enhancement stack
 (default or computed dark-channel priors), and reports PSNR of degraded vs
 enhanced against the clean original. With randomly-initialized filter-parameter
 weights this measures the machinery (the filters still brighten via the DeDark
-default prior); trained weights raise the enhanced PSNR further.
+default prior). NOTE on trained weights (--ckpt): the reference's recovery
+loss is mse(degraded, clean) computed in preprocess (detect/train.py:108) —
+a CONSTANT w.r.t. the model parameters — so the enhancement module is trained
+only by the detection gradient. Trained weights therefore optimize
+detection-friendly enhancement (see docs/REALIMAGE.md: 13.9x mAP on dark
+data), not pixel-space PSNR, which stays roughly flat.
 
 Usage: python scripts/enhance_roundtrip.py [image_path] [--pallas] [--computed]
+       [--ckpt runs/.../best.npz]   # use TRAINED enhance weights (EMA)
 """
 
 import sys
@@ -33,6 +39,7 @@ def main(argv):
     img_path = next((a for a in argv if not a.startswith("--")), None)
     use_pallas = "--pallas" in argv
     computed = "--computed" in argv
+    ckpt = (argv[argv.index("--ckpt") + 1] if "--ckpt" in argv else None)
 
     if img_path and Path(img_path).is_file():
         img = cv2.imread(img_path)
@@ -44,6 +51,24 @@ def main(argv):
 
     mod = LowlightRecovery(impl="pallas" if use_pallas else "xla")
     variables = jax.jit(mod.init)(jax.random.PRNGKey(0), clean)
+    if ckpt:
+        # graft the trained graph's layer-0 (mods_0) EMA weights into the
+        # standalone module (checkpoint keys: ema/mods_0/<module path>/<leaf>)
+        from dedark_yolo_tpu.utils.checkpoint import load_checkpoint
+        _, flat = load_checkpoint(ckpt)
+        prefix = "ema/mods_0/"
+        params = {}
+        for k, v in flat.items():
+            if not k.startswith(prefix):
+                continue
+            parts = k[len(prefix):].split("/")
+            d = params
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = v
+        assert params, f"no {prefix}* keys in {ckpt} (layer 0 not lowlight?)"
+        variables = {"params": params}
+        print(f"using trained enhance weights from {ckpt}")
 
     @jax.jit
     def enhance(v, x, A, ica):
