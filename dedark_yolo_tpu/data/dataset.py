@@ -40,9 +40,16 @@ def check_det_dataset(data):
     if isinstance(data, dict):
         d = dict(data)
     else:
-        with open(data, errors="ignore") as f:
+        p = Path(data)
+        if not p.is_file():
+            # packaged dataset cards resolve by name, e.g. data='tielu.yaml'
+            # (reference keeps them in ultralytics/cfg/datasets/)
+            cand = Path(__file__).parents[1] / "cfg" / "datasets" / p.name
+            if cand.is_file():
+                p = cand
+        with open(p, errors="ignore") as f:
             d = yaml.safe_load(f)
-        d.setdefault("path", str(Path(data).parent))
+        d.setdefault("path", str(p.parent))
     root = Path(d.get("path", "."))
     for k in ("train", "val", "test"):
         if d.get(k):

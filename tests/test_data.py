@@ -23,6 +23,15 @@ def test_check_det_dataset(synth):
     assert 0 in synth["names"]
 
 
+def test_packaged_dataset_card_resolves_by_name():
+    """data='tielu.yaml' finds the packaged card (reference keeps dataset
+    yamls in ultralytics/cfg/datasets/; tielu is the fork's railway set)."""
+    d = check_det_dataset("tielu.yaml")
+    assert d["nc"] == 3
+    assert d["names"] == {0: "person", 1: "debrisflow", 2: "rockfall"}
+    assert d["val"].endswith("test_dark")  # val measures on the dark split
+
+
 def test_dataset_scan_and_labels(synth):
     ds = YOLODataset(synth["train"], imgsz=160, nc=3)
     assert len(ds) == 8
