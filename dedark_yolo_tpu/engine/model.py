@@ -39,9 +39,17 @@ class YOLO:
             self._new(model)
         elif model.endswith(".npz"):
             self._load(model)
+        elif model.endswith(".bin"):
+            # exported jax.export artifact: a compiled, weight-embedded
+            # program. val/predict route through AutoBackend like the
+            # reference's standalone modes (validator.py:116-123,
+            # predictor.py setup_model); train/export need live params.
+            self._backend_spec = model
+            self.model = None
         else:
             raise ValueError(
-                f"unsupported model spec '{model}' (expect .yaml or .npz checkpoint)")
+                f"unsupported model spec '{model}' "
+                "(expect .yaml, .npz checkpoint, or exported .bin)")
 
     def _new(self, cfg_path):
         d = model_yaml_load(cfg_path)
@@ -122,9 +130,26 @@ class YOLO:
         self.metrics = metrics
         return metrics
 
+    def _make_backend(self, args):
+        from .autobackend import AutoBackend
+        imgsz = args.imgsz if isinstance(args.imgsz, int) else 640
+        backend = AutoBackend(self._backend_spec, imgsz=imgsz,
+                              batch=max(1, int(args.batch)))
+        # the artifact's fixed shapes win (sidecar); rect val would need
+        # per-bucket artifacts, so exported-artifact val runs square
+        args.imgsz = backend.imgsz
+        args.batch = backend.batch
+        args.rect = False
+        return backend
+
     def val(self, **kwargs):
         overrides = {**self.overrides, **kwargs, "mode": "val"}
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
+        if getattr(self, "_backend_spec", None):
+            from .validator import DetectionValidator
+            backend = self._make_backend(args)
+            self.metrics = DetectionValidator(args=args)(model=backend)
+            return self.metrics
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
         task = getattr(self.model, "task", "detect")
         # TASK_MAP dispatch (reference engine/model.py:17-26 routes every task
@@ -149,6 +174,13 @@ class YOLO:
     def predict(self, source, stream=False, **kwargs):
         overrides = {**self.overrides, **kwargs, "mode": "predict"}
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
+        if getattr(self, "_backend_spec", None):
+            from .predictor import DetectionPredictor
+            backend = self._make_backend(args)
+            predictor = DetectionPredictor(args=args, model=backend,
+                                           names=backend.names)
+            self.predictor = predictor
+            return predictor(source, stream=stream)
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
         names = getattr(self.model, "names", {})
         save_dir = None

@@ -100,6 +100,21 @@ class DetectionPredictor:
         want_enhanced = bool(a.save_enhanced)
         dtype = jnp.bfloat16 if a.half else jnp.float32
 
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            # exported-artifact inference (reference predictor wraps the model
+            # in AutoBackend, predictor.py:332-344): the artifact runs
+            # enhance+forward+decode; only NMS happens here
+            @jax.jit
+            def nms_step(boxes, scores):
+                dets, counts = non_max_suppression(
+                    boxes, scores, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_nms=max_nms, multi_label=False,
+                    agnostic=bool(a.agnostic_nms))
+                return {"dets": dets, "counts": counts}
+
+            return lambda members, img_u8: nms_step(*model.forward(img_u8))
+
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
             from ..nn.heads import decode_detections

@@ -53,6 +53,32 @@ class DetectionValidator:
         max_det = int(a.max_det)
         max_nms = int(a.max_nms)
 
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            # exported-artifact validation (reference standalone val wraps the
+            # model in AutoBackend, validator.py:116-123): the artifact does
+            # its own enhance+forward+decode at a FIXED batch shape (the last
+            # val batch is padded up to it); only NMS runs here
+            @jax.jit
+            def nms_step(boxes, scores):
+                return non_max_suppression(
+                    boxes, scores, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_nms=max_nms, multi_label=True,
+                    agnostic=bool(a.agnostic_nms))
+
+            def backend_step(params, batch_stats, batch):
+                img = np.asarray(batch["img"])
+                n = img.shape[0]
+                if n < model.batch:
+                    img = np.concatenate(
+                        [img, np.zeros((model.batch - n, *img.shape[1:]),
+                                       img.dtype)])
+                boxes, scores = model.forward(img)
+                dets, counts = nms_step(boxes, scores)
+                return {"dets": dets[:n], "counts": counts[:n]}
+
+            return backend_step
+
         is_rtdetr = model.head["name"] == "RTDETRDecoder"
 
         def val_step(params, batch_stats, batch):

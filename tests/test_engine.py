@@ -208,6 +208,31 @@ def test_export_bin_and_autobackend(trained, tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+def test_val_and_predict_exported_artifact(trained, synth_yaml, tmp_path):
+    """YOLO('model.bin') routes val/predict through AutoBackend (reference
+    standalone modes wrap AutoBackend, validator.py:116-123) and matches the
+    live model's mAP; batch 3 over 4 val images exercises last-batch padding."""
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.data import check_det_dataset
+    model, _, _ = trained
+    path = model.export(format="export", imgsz=96, batch=3,
+                        project=str(tmp_path))
+
+    bm = YOLO(path)
+    common = dict(data=synth_yaml, imgsz=96, max_boxes=16, max_nms=256,
+                  max_det=20, plots=False, workers=1)
+    m_bin = bm.val(batch=3, **common)
+    m_live = model.val(batch=3, rect=False, **common)
+    assert m_bin["metrics/mAP50(B)"] == pytest.approx(
+        m_live["metrics/mAP50(B)"], abs=2e-3)
+
+    img_dir = check_det_dataset(synth_yaml)["val"]
+    results = bm.predict(img_dir, conf=0.01, max_nms=256, max_det=20,
+                         save=False)
+    assert len(results) == 4
+    assert results[0].boxes.data.shape[1] == 6
+
+
 def test_rect_val(trained, synth_yaml):
     """rect=True buckets val images by aspect into static shapes; metrics stay
     consistent with square val."""
