@@ -89,7 +89,7 @@ def test_folders(weights, folder, imgsz=640, conf=0.4, batch=8,
 
 
 def calculate_detection_metrics(weights, data, imgsz=640, batch=4,
-                                save_dir="runs/detect/rates"):
+                                save_dir="runs/detect/rates", **kw):
     """Per-class detection rate & miss rate from the confusion matrix
     (reference perform.py:390-467)."""
     from dedark_yolo_tpu.cfg import get_cfg, DEFAULT_CFG_DICT
@@ -97,7 +97,7 @@ def calculate_detection_metrics(weights, data, imgsz=640, batch=4,
     model = YOLO(weights)
     args = get_cfg(DEFAULT_CFG_DICT, {**model.overrides, "data": data,
                                       "imgsz": imgsz, "batch": batch,
-                                      "plots": True})
+                                      "plots": True, **kw})
     model._ensure_params(imgsz)
     validator = DetectionValidator(args=args, save_dir=save_dir)
     validator(model=model.model, params=model.params,
