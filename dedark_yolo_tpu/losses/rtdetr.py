@@ -35,7 +35,12 @@ def greedy_assign(cost, gt_mask):
         gt_mask: (B, M) 1.0 for real gt rows.
     Returns:
         assign_q: (B, M) int32 — query index matched to each gt (arbitrary for
-        padding rows; mask any use with gt_mask).
+        unmatched rows; mask any use with the returned matched mask).
+        matched:  (B, M) float — 1.0 where the gt actually received a fresh
+        query. When an image has more real gts than queries (nq < M real
+        boxes), the excess gts stay 0 here and must be dropped from the loss —
+        reusing queries would silently break the one-to-one property DETR
+        training relies on.
     """
     b, nq, m = cost.shape
     big = jnp.asarray(1e9, cost.dtype)
@@ -46,20 +51,27 @@ def greedy_assign(cost, gt_mask):
     cost = jnp.where(gt_mask[:, None, :] > 0, cost, big)
 
     def body(_, state):
-        c, used_q, used_g, assign_q = state
+        c, used_q, used_g, assign_q, matched = state
         cc = c + used_q[:, :, None] * used_pen + used_g[:, None, :] * used_pen
         flat = cc.reshape(b, nq * m)
         idx = jnp.argmin(flat, axis=1)                   # (B,)
+        # a pick is real only if it lands on a fresh query AND a fresh, real
+        # gt: anything at >= big is a padded column or an exhausted row
+        val = jnp.take_along_axis(flat, idx[:, None], axis=1).squeeze(1)
+        ok = (val < big).astype(c.dtype)
         q, g = idx // m, idx % m
-        used_q = used_q.at[jnp.arange(b), q].set(1.0)
-        used_g = used_g.at[jnp.arange(b), g].set(1.0)
-        assign_q = assign_q.at[jnp.arange(b), g].set(q.astype(jnp.int32))
-        return c, used_q, used_g, assign_q
+        rows = jnp.arange(b)
+        used_q = used_q.at[rows, q].max(ok)
+        used_g = used_g.at[rows, g].max(ok)
+        assign_q = assign_q.at[rows, g].set(
+            jnp.where(ok > 0, q, assign_q[rows, g]).astype(jnp.int32))
+        matched = matched.at[rows, g].max(ok)
+        return c, used_q, used_g, assign_q, matched
 
     state = (cost, jnp.zeros((b, nq), cost.dtype), jnp.zeros((b, m), cost.dtype),
-             jnp.zeros((b, m), jnp.int32))
-    _, _, _, assign_q = jax.lax.fori_loop(0, m, body, state)
-    return assign_q
+             jnp.zeros((b, m), jnp.int32), jnp.zeros((b, m), cost.dtype))
+    _, _, _, assign_q, matched = jax.lax.fori_loop(0, m, body, state)
+    return assign_q, matched
 
 
 def _layer_loss(pred_boxes, pred_logits, gt_boxes, gt_cls, gt_mask, nc,
@@ -79,7 +91,10 @@ def _layer_loss(pred_boxes, pred_logits, gt_boxes, gt_cls, gt_mask, nc,
                     xywh2xyxy(gt_boxes)[:, None, :, :],
                     xywh=False, GIoU=True).squeeze(-1)       # (B,Nq,M)
     cost = jax.lax.stop_gradient(-p_at_cls + 5.0 * l1 + 2.0 * (1.0 - giou))
-    assign_q = greedy_assign(cost, gt_mask)                  # (B,M)
+    assign_q, matched = greedy_assign(cost, gt_mask)         # (B,M)
+    # drop gts that could not get a fresh query (only possible when an image
+    # has more real boxes than nq) — keeps the assignment strictly one-to-one
+    gt_mask = gt_mask * matched
 
     num_gt = jnp.maximum(gt_mask.sum(), 1.0)
 

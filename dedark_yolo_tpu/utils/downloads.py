@@ -53,13 +53,19 @@ def unzip_file(file, path=None, exclude=(".DS_Store", "__MACOSX"),
             dest = path / file.stem     # wrap loose members
         else:
             dest = path
-        target = path / (file.stem if len(tops) != 1 else next(iter(tops)))
-        if target.exists() and any(target.iterdir()) and not exist_ok:
-            LOGGER.info(f"skipping unzip: {target} exists (exist_ok=False)")
-            return target
+        # the directory the caller actually receives: the wrapper dir when
+        # members are wrapped, else the archive's single top-level dir — the
+        # skip-if-exists check must test THIS path, not path/<topdir>, or
+        # wrapped archives never skip and an unrelated path/<topdir> could be
+        # returned without extracting (reference derives extract_path from the
+        # reassigned path the same way, downloads.py:46-89)
+        final = dest if dest != path else path / next(iter(tops))
+        if final.exists() and any(final.iterdir()) and not exist_ok:
+            LOGGER.info(f"skipping unzip: {final} exists (exist_ok=False)")
+            return final
         for n in names:
             z.extract(n, dest)
-    return dest if dest != path else target
+    return final
 
 
 def check_disk_space(url_or_bytes=2e9, sf: float = 1.5, hard: bool = True) -> bool:

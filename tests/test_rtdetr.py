@@ -114,9 +114,11 @@ def test_greedy_assign_one_to_one_and_near_optimal():
     cost = rng.uniform(0, 1, (3, 24, 6)).astype(np.float32)
     mask = np.ones((3, 6), np.float32)
     mask[1, 4:] = 0.0    # padded gts in one batch element
-    aq = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(mask)))
+    aq, matched = greedy_assign(jnp.asarray(cost), jnp.asarray(mask))
+    aq, matched = np.asarray(aq), np.asarray(matched)
     for b in range(3):
         m = int(mask[b].sum())
+        assert matched[b, :m].tolist() == [1.0] * m   # every real gt matched
         real = aq[b, :m]
         assert len(set(real.tolist())) == m    # one-to-one over real gts
         greedy_cost = cost[b, real, np.arange(m)].sum()
@@ -127,9 +129,21 @@ def test_greedy_assign_one_to_one_and_near_optimal():
     strong = np.full((1, 8, 4), 5.0, np.float32)
     for j in range(4):
         strong[0, j, j] = 0.1 * (j + 1)
-    aq = np.asarray(greedy_assign(jnp.asarray(strong),
-                                  jnp.ones((1, 4), np.float32)))
-    assert aq[0].tolist() == [0, 1, 2, 3]
+    aq, _ = greedy_assign(jnp.asarray(strong), jnp.ones((1, 4), np.float32))
+    assert np.asarray(aq)[0].tolist() == [0, 1, 2, 3]
+
+
+def test_greedy_assign_more_gts_than_queries():
+    """nq < real gts: excess gts get matched=0 and no query is reused."""
+    from dedark_yolo_tpu.losses.rtdetr import greedy_assign
+    rng = np.random.default_rng(7)
+    cost = rng.uniform(0, 1, (1, 3, 6)).astype(np.float32)  # 3 queries, 6 gts
+    mask = np.ones((1, 6), np.float32)
+    aq, matched = greedy_assign(jnp.asarray(cost), jnp.asarray(mask))
+    aq, matched = np.asarray(aq), np.asarray(matched)
+    assert matched.sum() == 3.0                     # only nq gts can match
+    used = aq[0][matched[0] > 0]
+    assert len(set(used.tolist())) == 3             # no query reused
 
 
 def test_rtdetr_loss_grads_and_separation():
