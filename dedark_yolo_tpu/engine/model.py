@@ -99,6 +99,18 @@ class YOLO:
                     "(output-level candidate merge before NMS)")
 
     # ------------------------------------------------------------------ modes
+    def _sync_model_opts(self, args):
+        """Rebuild the graph when an args flag changes pure model semantics
+        (contrast_mode) — params are untouched, only the traced math changes
+        (the reference-faithful contrast quirk, nn/enhance.py)."""
+        cm = getattr(args, "contrast_mode", None) or "channel"
+        if self.model is not None and self.model_yaml is not None and \
+                getattr(self.model.module, "contrast_mode", "channel") != cm:
+            names = getattr(self.model, "names", None)
+            self.model = DetectionModel(self.model_yaml, contrast_mode=cm)
+            if names:
+                self.model.names = names
+
     def _ensure_params(self, imgsz=640):
         if self.params is None:
             LOGGER.info("initializing random weights (no checkpoint loaded)")
@@ -151,6 +163,7 @@ class YOLO:
             self.metrics = DetectionValidator(args=args)(model=backend)
             return self.metrics
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
+        self._sync_model_opts(args)
         task = getattr(self.model, "task", "detect")
         # TASK_MAP dispatch (reference engine/model.py:17-26 routes every task
         # to its own validator)
@@ -182,6 +195,7 @@ class YOLO:
             self.predictor = predictor
             return predictor(source, stream=stream)
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
+        self._sync_model_opts(args)
         names = getattr(self.model, "names", {})
         save_dir = None
         if args.project:

@@ -116,7 +116,9 @@ class BaseTrainer:
     def get_model(self):
         yaml_path = self.args.model or self.default_model
         d = model_yaml_load(yaml_path)
-        return DetectionModel(d, nc=self.data["nc"])
+        return DetectionModel(d, nc=self.data["nc"],
+                              contrast_mode=getattr(self.args, "contrast_mode",
+                                                    "channel"))
 
     def build_train_loader(self):
         """Return a loader: len(), set_epoch(e), iter -> fixed-shape batch."""

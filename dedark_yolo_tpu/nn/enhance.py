@@ -39,6 +39,7 @@ reference), contrast 13, usm 14.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +76,21 @@ def rgb2lum(img):
     return lum[..., None]
 
 
+def rgb2lum_reference_nchw(img):
+    """The reference's rgb2lum AS EXECUTED on its NCHW tensors.
+
+    util_filters.rgb2lum (:270-273) indexes the LAST axis, which for the NCHW
+    images ContrastFilter feeds it (filtersB.py:296-303) is the W axis: the
+    "luminance" is 0.27*col0 + 0.67*col1 + 0.06*col2 per (batch, channel, row),
+    broadcast across the row. Verified against the executing reference by
+    scripts/reference_duel.py (enhance output matches to ~1e-6 only with this
+    quirk reproduced). In our NHWC layout: (B,H,1,C) from columns 0..2.
+    """
+    lum = (0.27 * img[:, :, 0, :] + 0.67 * img[:, :, 1, :]
+           + 0.06 * img[:, :, 2, :])
+    return lum[:, :, None, :]
+
+
 def regress_filter_params(features):
     """Squash the raw 15-feature vector into per-filter parameter space.
 
@@ -99,10 +115,16 @@ def regress_filter_params(features):
             "contrast": contrast, "usm": usm}
 
 
-def apply_point_filters(img, params, dedark_A, IcA):
+def apply_point_filters(img, params, dedark_A, IcA, contrast_mode="channel"):
     """Fused DeDark -> WB -> Gamma -> Contrast chain (all elementwise).
 
     img: (B, H, W, 3) in [0,1]; dedark_A: (B, 3); IcA: (B, H, W, 1).
+    contrast_mode: 'channel' computes the contrast luminance as the proper
+    per-pixel RGB mix (our documented fix); 'reference' reproduces the
+    executing reference bit-for-bit, whose ContrastFilter mixes the first
+    three COLUMNS per row instead (see rgb2lum_reference_nchw). Use
+    'reference' when running weights imported from (or exported to) the torch
+    reference, so both stacks compute the same function.
     """
     w = params["dedark_w"][:, None, None, :]          # (B,1,1,1)
     A = dedark_A[:, None, None, :]                    # (B,1,1,3)
@@ -115,7 +137,8 @@ def apply_point_filters(img, params, dedark_A, IcA):
     x = jnp.power(jnp.maximum(x, 1e-4), g)
 
     p = params["contrast"][:, None, None, :]
-    lum = jnp.clip(rgb2lum(x), 0.0, 1.0)
+    lum_fn = rgb2lum_reference_nchw if contrast_mode == "reference" else rgb2lum
+    lum = jnp.clip(lum_fn(x), 0.0, 1.0)
     clum = -jnp.cos(math.pi * lum) * 0.5 + 0.5
     contrast_img = x / (lum + 1e-6) * clum
     x = (1.0 - p) * x + p * contrast_img
@@ -153,10 +176,10 @@ def usm_filter(img, usm_param):
     return (img - blur) * s + img
 
 
-def apply_filter_chain(img, features, dedark_A, IcA):
+def apply_filter_chain(img, features, dedark_A, IcA, contrast_mode="channel"):
     """Full 5-filter chain from raw 15-vector CNN features."""
     params = regress_filter_params(features)
-    x = apply_point_filters(img, params, dedark_A, IcA)
+    x = apply_point_filters(img, params, dedark_A, IcA, contrast_mode)
     return usm_filter(x, params["usm"])
 
 
@@ -171,6 +194,38 @@ def tone_filter(img, tone_features):
         seg = jnp.clip(img - i / CURVE_STEPS, 0.0, 1.0 / CURVE_STEPS)
         total = total + seg * curve[:, i][:, None, None, None]
     return total * CURVE_STEPS / curve_sum[:, :, None, None]
+
+
+@lru_cache(maxsize=32)
+def _bilinear_matrix(out_size: int, in_size: int):
+    """Torch-convention bilinear resize weights (one axis) as a dense matrix.
+
+    F.interpolate(mode='bilinear', align_corners=False) — the reference's
+    llie.py:43 downsample to 256 — samples at half-pixel centers WITHOUT
+    antialiasing. jax.image.resize antialiases on downscale, which feeds the
+    parameter CNN a visibly different 256x256 image and diverges the whole
+    filter chain (caught by scripts/reference_duel.py). Expressing the exact
+    torch sampling as a (out, in) matrix keeps the op on the MXU.
+    """
+    i = np.arange(out_size)
+    src = (i + 0.5) * (in_size / out_size) - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    w = np.zeros((out_size, in_size), np.float32)
+    w[i, np.clip(lo, 0, in_size - 1)] += 1.0 - frac
+    w[i, np.clip(lo + 1, 0, in_size - 1)] += frac
+    return w
+
+
+def torch_bilinear_resize(x, out_h: int, out_w: int):
+    """NHWC resize matching F.interpolate(..., 'bilinear', align_corners=False)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    wy = jnp.asarray(_bilinear_matrix(out_h, h), x.dtype)
+    wx = jnp.asarray(_bilinear_matrix(out_w, w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wy, x)
+    return jnp.einsum("ow,bhwc->bhoc", wx, x)
 
 
 class ExtractParameters2(nn.Module):
@@ -204,6 +259,7 @@ class LowlightRecovery(nn.Module):
     """
     out_channels: int = 3
     impl: str = "xla"  # 'xla' (pure chain) | 'pallas' (fused VMEM kernel)
+    contrast_mode: str = "channel"  # 'reference' = bit-faithful to the torch fork
 
     @nn.compact
     def __call__(self, x, dedark_A=None, IcA=None, train: bool = False):
@@ -212,14 +268,17 @@ class LowlightRecovery(nn.Module):
             dedark_A = jnp.full((b, 3), DEFAULT_A, dtype=x.dtype)
         if IcA is None:
             IcA = jnp.full((b, h, w, 1), DEFAULT_ICA, dtype=x.dtype)
-        small = jax.image.resize(x, (b, 256, 256, x.shape[-1]), method="bilinear")
+        small = torch_bilinear_resize(x, 256, 256)
         features = ExtractParameters2()(small)
-        if self.impl == "pallas":
+        if self.impl == "pallas" and self.contrast_mode == "channel":
             # lazy import (the kernel module imports this one for the formulas).
             # Differentiable in BOTH directions: fused VMEM forward + custom
             # VJP that rematerializes backward through the XLA chain, so
-            # training uses the kernel too (interpret mode off-TPU for tests)
+            # training uses the kernel too (interpret mode off-TPU for tests).
+            # contrast_mode='reference' needs cross-column data the tiled
+            # kernel doesn't stage — that mode runs the XLA chain.
             from ..ops.pallas.enhance_kernel import fused_enhance_diff
             return fused_enhance_diff(x, features, dedark_A, IcA,
                                       jax.default_backend() != "tpu")
-        return apply_filter_chain(x, features, dedark_A, IcA)
+        return apply_filter_chain(x, features, dedark_A, IcA,
+                                  self.contrast_mode)

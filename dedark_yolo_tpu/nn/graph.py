@@ -211,7 +211,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     return tuple(specs), sorted(set(save)), head
 
 
-def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
+def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla",
+                  contrast_mode: str = "channel"):
     """Instantiate the flax module for a LayerSpec (None for functional layers)."""
     name, a = spec.name, list(spec.args)
     if name == "Conv":
@@ -264,7 +265,8 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla"):
     if name == "HGBlock":
         return L.HGBlock(cm=a[0], c2=a[1], k=a[2] if len(a) > 2 else 3, n=a[3])
     if name == "lowlight_recovery":
-        return LowlightRecovery(out_channels=a[0], impl=enhance_impl)
+        return LowlightRecovery(out_channels=a[0], impl=enhance_impl,
+                                contrast_mode=contrast_mode)
     if name == "AsffTribeLevel":
         return L.AsffTribeLevel(level=a[0])
     if name == "AsffDoubLevel":
@@ -322,6 +324,7 @@ class YOLOGraph(nn.Module):
     save: Tuple[int, ...]
     head: FrozenDict
     enhance_impl: str = "xla"  # 'pallas' = fused VMEM enhance kernel (eval path)
+    contrast_mode: str = "channel"  # 'reference' = torch-fork bit-faithful contrast
 
     def setup(self):
         mods = []
@@ -331,10 +334,12 @@ class YOLOGraph(nn.Module):
                 # (the reference builds n copies via nn.Sequential,
                 # tasks.py:905-906) — one shared instance would silently tie
                 # their weights
-                m = tuple(_build_module(s, dict(self.head), self.enhance_impl)
+                m = tuple(_build_module(s, dict(self.head), self.enhance_impl,
+                                        self.contrast_mode)
                           for _ in range(s.n))
             else:
-                m = _build_module(s, dict(self.head), self.enhance_impl)
+                m = _build_module(s, dict(self.head), self.enhance_impl,
+                                  self.contrast_mode)
             mods.append(m if m is not None else ())
         self.mods = mods
 
@@ -377,7 +382,7 @@ class DetectionModel:
     """
 
     def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False,
-                 enhance_impl: str = "xla"):
+                 enhance_impl: str = "xla", contrast_mode: str = "channel"):
         import copy
         self.yaml = copy.deepcopy(cfg_dict)
         if nc and nc != self.yaml.get("nc"):
@@ -391,7 +396,8 @@ class DetectionModel:
         self.no = self.nc + 4 * self.reg_max
         self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
                                 head=FrozenDict(self.head),
-                                enhance_impl=enhance_impl)
+                                enhance_impl=enhance_impl,
+                                contrast_mode=contrast_mode)
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):

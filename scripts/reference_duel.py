@@ -1,0 +1,216 @@
+"""Parity-by-execution: run the REFERENCE Dedark-YOLO validator head-to-head
+against our TPU stack on the same dataset with the same trained weights.
+
+Closes VERDICT r2 "Next round #1": everything before this proved parity by
+construction (golden metric vectors, forward-parity import tests); this script
+proves it by *executing the reference itself*, offline:
+
+  1. load our trained checkpoint (runs/realimage/train/weights/best.npz),
+  2. export it to a torch state_dict (utils/torch_import.export_state_dict)
+     and load it into the reference's DetectionModel built from the SAME model
+     yaml (reference tasks.py:257, parse_model 803-921),
+  3. run the reference DetectionValidator (reference detect/val.py:18-190,
+     validator.py:93-207) on the realimage val split — torch CPU, fp32,
+     conf=0.001 / iou=0.7 / max_det=300,
+  4. run OUR standalone validator with identical settings,
+  5. report both mAP50 / mAP50-95 side by side (docs/PARITY.md).
+
+Missing reference deps (torchvision/pkg_resources/easydict) are stubbed by
+scripts/ref_compat.py; torchvision.ops.nms is replaced with an equivalent
+pure-torch greedy NMS.
+
+Usage:
+    python scripts/reference_duel.py [--ckpt PATH] [--data PATH] [--imgsz 320]
+
+Run on CPU (both stacks): set JAX_PLATFORMS=cpu or pass --cpu.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def load_ours(ckpt, data_yaml, imgsz, batch):
+    """Standalone val of our stack; returns (metrics_dict, YOLO_instance)."""
+    from dedark_yolo_tpu import YOLO
+
+    m = YOLO(ckpt)
+    # contrast_mode='reference' makes our enhance bit-faithful to the torch
+    # fork's ContrastFilter quirk (nn/enhance.py rgb2lum_reference_nchw) so
+    # both stacks evaluate the SAME function of the shared weights
+    res = m.val(data=data_yaml, imgsz=imgsz, batch=batch, rect=False,
+                plots=False, conf=0.001, iou=0.7, max_det=300,
+                contrast_mode="reference",
+                project="runs/refduel", name="ours", exist_ok=True)
+    return res, m
+
+
+def build_reference_model(ultra, model_yaml, nc, names):
+    import yaml as pyyaml
+
+    from ultralytics.nn.tasks import DetectionModel as RefDetectionModel
+
+    cfg = pyyaml.safe_load(Path(model_yaml).read_text())
+    cfg["scale"] = "n"
+    ref = RefDetectionModel(cfg, ch=3, nc=nc, verbose=False)
+    ref.names = names
+    return ref
+
+
+def load_weights_into_reference(ref_model, our_yolo):
+    import torch
+
+    from dedark_yolo_tpu.utils.torch_import import export_state_dict
+
+    variables = {"params": our_yolo.params, "batch_stats": our_yolo.batch_stats}
+    sd = export_state_dict(variables, our_yolo.model)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)).float()
+           for k, v in sd.items()}
+    missing, unexpected = ref_model.load_state_dict(tsd, strict=False)
+    # the only legitimately absent keys are frozen/functional buffers on the
+    # torch side: Detect's DFL arange conv (block.py:220-239) — our DFL is
+    # functional — plus any num_batches_tracked counters
+    bad_missing = [k for k in missing
+                   if "dfl" not in k and "num_batches_tracked" not in k]
+    assert not bad_missing, f"unmapped reference params: {bad_missing[:8]}"
+    assert not unexpected, f"exported keys with no reference home: {unexpected[:8]}"
+    return len(tsd)
+
+
+def forward_parity_check(ref_model, our_yolo, image_path, imgsz):
+    """Both stacks forward one real val image; decoded (cxcywh+cls) outputs
+    must agree to ~1e-2 absolute in pixel units before we bother with mAP."""
+    import cv2
+    import jax.numpy as jnp
+    import torch
+
+    img = cv2.imread(str(image_path))
+    assert img is not None, image_path
+    img = cv2.resize(img, (imgsz, imgsz))
+    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+    ref_model.eval()
+    with torch.no_grad():
+        t = torch.from_numpy(rgb.transpose(2, 0, 1)[None])
+        y = ref_model(t)
+        ref_out = y[0] if isinstance(y, (tuple, list)) else y   # (1, 4+nc, N)
+    ref_out = ref_out.numpy()
+
+    variables = {"params": our_yolo.params, "batch_stats": our_yolo.batch_stats}
+    boxes, scores = our_yolo.model.apply_eval(variables, jnp.asarray(rgb)[None])
+    ours = np.concatenate([np.asarray(boxes), np.asarray(scores)],
+                          axis=-1).transpose(0, 2, 1)            # (1, 4+nc, N)
+    assert ours.shape == ref_out.shape, (ours.shape, ref_out.shape)
+    box_err = np.abs(ours[:, :4] - ref_out[:, :4]).max()
+    cls_err = np.abs(ours[:, 4:] - ref_out[:, 4:]).max()
+    return float(box_err), float(cls_err)
+
+
+def run_reference_val(ultra, ref_model, data_yaml, imgsz, batch, save_dir):
+    from ultralytics.cfg import get_cfg
+    from ultralytics.models.yolo.detect import DetectionValidator
+
+    args = get_cfg(overrides=dict(
+        data=str(data_yaml), imgsz=imgsz, batch=batch,
+        device="cpu", half=False, conf=0.001, iou=0.7, max_det=300,
+        rect=False, plots=False, save_json=False, save_txt=False,
+        save_hybrid=False, verbose=False, mode="val", task="detect"))
+    v = DetectionValidator(save_dir=Path(save_dir), args=args)
+    stats = v(model=ref_model)
+    return stats, v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="runs/realimage/train/weights/best.npz")
+    ap.add_argument("--data", default="runs/realimage/data/data.yaml")
+    ap.add_argument("--imgsz", type=int, default=320)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--model-yaml",
+                    default="dedark_yolo_tpu/cfg/models/yolov8-dedark.yaml")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json-out", default="runs/refduel/duel.json")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    # the reference import must come first: both packages define an
+    # `ultralytics`-independent namespace, but matplotlib/settings side
+    # effects are cheapest before jax spins up
+    from ref_compat import import_reference
+    ultra = import_reference()
+    print(f"reference ultralytics {ultra.__version__} from {ultra.__file__}")
+
+    # absolute-path data yaml so the reference's check_det_dataset does not
+    # re-root it under its DATASETS_DIR (reference data/utils.py:193-267)
+    import yaml as pyyaml
+    d = pyyaml.safe_load(Path(args.data).read_text())
+    root = (REPO / d["path"]).resolve() if not Path(d["path"]).is_absolute() \
+        else Path(d["path"])
+    duel_yaml = REPO / "runs/refduel/data_abs.yaml"
+    duel_yaml.parent.mkdir(parents=True, exist_ok=True)
+    d["path"] = str(root)
+    duel_yaml.write_text(pyyaml.safe_dump(d, sort_keys=False))
+
+    print("== our stack: standalone val ==")
+    ours_metrics, our_yolo = load_ours(args.ckpt, str(duel_yaml), args.imgsz,
+                                       args.batch)
+    names = our_yolo.model.names if hasattr(our_yolo.model, "names") else \
+        {i: str(i) for i in range(d["nc"])}
+
+    print("== building reference model + loading exported weights ==")
+    ref_model = build_reference_model(ultra, args.model_yaml, d["nc"], names)
+    n_loaded = load_weights_into_reference(ref_model, our_yolo)
+    print(f"loaded {n_loaded} tensors into the reference model")
+
+    val_dir = root / d["val"]
+    first_img = sorted(val_dir.glob("*.jpg"))[0]
+    box_err, cls_err = forward_parity_check(ref_model, our_yolo, first_img,
+                                            args.imgsz)
+    print(f"forward parity on {first_img.name}: "
+          f"max box err {box_err:.4f} px, max cls err {cls_err:.5f}")
+
+    print("== reference stack: standalone val (torch CPU) ==")
+    ref_stats, ref_v = run_reference_val(ultra, ref_model, duel_yaml,
+                                         args.imgsz, args.batch,
+                                         REPO / "runs/refduel/ref")
+
+    row = {
+        "ours": {"map50": float(ours_metrics["metrics/mAP50(B)"]),
+                 "map": float(ours_metrics["metrics/mAP50-95(B)"]),
+                 "precision": float(ours_metrics["metrics/precision(B)"]),
+                 "recall": float(ours_metrics["metrics/recall(B)"])},
+        "reference": {"map50": float(ref_stats["metrics/mAP50(B)"]),
+                      "map": float(ref_stats["metrics/mAP50-95(B)"]),
+                      "precision": float(ref_stats["metrics/precision(B)"]),
+                      "recall": float(ref_stats["metrics/recall(B)"])},
+        "forward_parity": {"max_box_err_px": box_err,
+                           "max_cls_err": cls_err},
+        "config": {"ckpt": args.ckpt, "imgsz": args.imgsz,
+                   "conf": 0.001, "iou": 0.7, "max_det": 300},
+    }
+    print(json.dumps(row, indent=2))
+    out = Path(args.json_out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(row, indent=2))
+    dm50 = abs(row["ours"]["map50"] - row["reference"]["map50"])
+    dm = abs(row["ours"]["map"] - row["reference"]["map"])
+    print(f"Δ mAP50 = {dm50:.4f}   Δ mAP50-95 = {dm:.4f}")
+    return row
+
+
+if __name__ == "__main__":
+    main()
