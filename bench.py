@@ -94,7 +94,7 @@ def main():
 
     ips = batch * iters / dt
     print(json.dumps({
-        "metric": "images/sec/chip fused enhance+detect+NMS @640 bf16 (Dedark-YOLOv8L+ASFF)",
+        "metric": "images/sec/chip fused enhance+detect+NMS @640 bf16 (Dedark-YOLOv8L+ASFF); vs_baseline divides by a 100 img/s GPU STAND-IN (assumed; reference publishes no number)",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 3),

@@ -22,6 +22,21 @@ IMG_FORMATS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
 CACHE_VERSION = "dedark-tpu-1.0"
 
 
+def read_image_shapes(im_files):
+    """(n, 2) int32 array of original (h, w) per file via header-only reads."""
+    from PIL import Image
+    import cv2
+    shapes = []
+    for f in im_files:
+        try:
+            with Image.open(f) as im:
+                w, h = im.size
+        except Exception:
+            h, w = cv2.imread(str(f)).shape[:2]
+        shapes.append((h, w))
+    return np.asarray(shapes, np.int32)
+
+
 def img2label_path(img_path: str) -> str:
     """images/... -> labels/... with .txt (reference data/utils.py:39)."""
     sa, sb = f"{Path('/').root}", None  # placate linters
@@ -162,18 +177,10 @@ class YOLODataset:
 
     def image_shapes(self):
         """(n, 2) array of original (h, w) per image, header-only reads (PIL),
-        cached. Used by rect-val aspect bucketing (reference base.py:211-234)."""
+        cached. Used by rect-val aspect bucketing (reference base.py:211-234)
+        and native-space validation."""
         if not hasattr(self, "_shapes"):
-            from PIL import Image
-            shapes = []
-            for f in self.im_files:
-                try:
-                    with Image.open(f) as im:
-                        w, h = im.size
-                except Exception:
-                    h, w = self._read(0).shape[:2]
-                shapes.append((h, w))
-            self._shapes = np.asarray(shapes, np.int32)
+            self._shapes = read_image_shapes(self.im_files)
         return self._shapes
 
     def random_index(self, rng: random.Random):

@@ -43,6 +43,14 @@ class PoseDataset:
     def __len__(self):
         return len(self.im_files)
 
+    def image_shapes(self):
+        """(n, 2) original (h, w) per image — header-only reads, cached
+        (same contract as YOLODataset.image_shapes; native-space val)."""
+        if not hasattr(self, "_shapes"):
+            from .dataset import read_image_shapes
+            self._shapes = read_image_shapes(self.im_files)
+        return self._shapes
+
     def random_index(self, rng):
         return rng.randrange(len(self.im_files))
 

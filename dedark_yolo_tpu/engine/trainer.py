@@ -78,7 +78,10 @@ class BaseTrainer:
         from ..utils.callbacks import (get_default_callbacks,
                                        add_integration_callbacks)
         self.callbacks = _callbacks or get_default_callbacks()
-        add_integration_callbacks(self)  # JSONL metrics + TB when available
+        if jax.process_index() == 0:
+            # rank-0-only writers (reference adds integrations on rank 0;
+            # every process appending the same JSONL/TB stream double-logs)
+            add_integration_callbacks(self)  # JSONL metrics + TB when available
         self.run_callbacks = lambda event: [cb(self) for cb in
                                             self.callbacks.get(event, [])]
         # fork flags (reference trainer.py:73-78)
@@ -262,6 +265,19 @@ class BaseTrainer:
         if a.batch % n_dev != 0:
             raise ValueError(f"batch {a.batch} must divide evenly over {n_dev} devices")
         LOGGER.info(f"mesh: {n_dev} device(s) on axis 'data'; global batch {a.batch}")
+        multi_process = jax.process_count() > 1
+        # per-epoch val runs on process 0 ONLY (reference rank-0 val,
+        # trainer.py:366-393). Handing it the GLOBAL mesh would make its
+        # replicate/shard collectives asymmetric (entered by one process ->
+        # deadlock); give it a mesh over this process's LOCAL devices instead.
+        if multi_process:
+            local = [d for d in np.asarray(mesh.devices).flat
+                     if d.process_index == jax.process_index()]
+            self.val_mesh = (make_mesh(devices=local)
+                             if len(local) > 1 and a.batch % len(local) == 0
+                             else None)
+        else:
+            self.val_mesh = mesh
 
         train_dl = self.build_train_loader()
         nb = len(train_dl)
@@ -381,14 +397,27 @@ class BaseTrainer:
                         self._validator = self.get_validator()
                     metrics = self._validator(model=model, params=ema["params"],
                                               batch_stats=ema["batch_stats"],
-                                              mesh=mesh)
+                                              mesh=self.val_mesh)
                     fitness = metrics.get("fitness", 0.0)
+                if multi_process:
+                    # every process must agree on fitness (EarlyStopping) — the
+                    # reference broadcasts the stop flag from rank 0
+                    # (trainer.py:389-393); here we broadcast the fitness that
+                    # drives it so the stop decision is identical everywhere
+                    from jax.experimental import multihost_utils
+                    fitness = float(multihost_utils.broadcast_one_to_all(
+                        np.asarray(fitness, np.float32)))
                 t_val = time.time() - t_val
                 self.metrics = metrics
 
                 loss_str = " ".join(f"{n} {v:.4f}"
                                     for n, v in zip(self.loss_names, mloss))
-                self._save_csv(epoch, mloss, metrics, lr_now)
+                if jax.process_index() == 0:
+                    # rank-0-only artifact writes: two processes appending the
+                    # same results.csv duplicate every epoch row (caught by
+                    # tests/test_distributed.py; reference gates at
+                    # trainer.py:366-380)
+                    self._save_csv(epoch, mloss, metrics, lr_now)
 
                 improved = fitness >= self.best_fitness
                 if improved:
@@ -411,6 +440,13 @@ class BaseTrainer:
                     LOGGER.info(f"interrupted: stopping after epoch {epoch + 1} "
                                 "(checkpoint written)")
                     stop = True
+                if multi_process:
+                    # a process stopping alone (e.g. local SIGTERM) would leave
+                    # the others blocked in the next step's collective — agree
+                    # on stop across processes (logical OR)
+                    from jax.experimental import multihost_utils
+                    stop = bool(multihost_utils.process_allgather(
+                        np.asarray([1.0 if stop else 0.0], np.float32)).max())
                 if stop:
                     break
         finally:
@@ -434,7 +470,8 @@ class BaseTrainer:
                 bp = restore_tree(flat, "ema", ema["params"])
                 bbs = restore_tree(flat, "ema_bs", ema["batch_stats"])
                 self.metrics = self._validator(model=model, params=bp,
-                                               batch_stats=bbs, mesh=mesh)
+                                               batch_stats=bbs,
+                                               mesh=self.val_mesh)
         if a.plots:
             try:
                 from ..utils.plotting import plot_results

@@ -343,11 +343,17 @@ class YOLOGraph(nn.Module):
             mods.append(m if m is not None else ())
         self.mods = mods
 
-    def __call__(self, x, dedark_A=None, IcA=None, train: bool = False):
+    def __call__(self, x, dedark_A=None, IcA=None, train: bool = False,
+                 upto: int | None = None):
+        """Forward; `upto` (static) truncates the layer walk after layer
+        index `upto` and returns that activation — used by the roofline
+        profiler (scripts/roofline.py) to time stage prefixes."""
         saved: Dict[int, jnp.ndarray] = {}
         y = x
         raw = None
         for spec, mod in zip(self.specs, self.mods):
+            if upto is not None and spec.i > upto:
+                return y
             if len(spec.f) == 1:
                 inp = y if spec.f[0] == -1 else saved[spec.f[0]]
             else:

@@ -67,6 +67,26 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True):
     return clip_boxes(boxes, img0_shape)
 
 
+def scale_coords(img1_shape, coords, img0_shape, ratio_pad=None):
+    """Rescale (..., 2+) point coordinates (e.g. keypoints x,y[,v]) from the
+    letterboxed `img1_shape` frame back to native `img0_shape`.
+
+    Reference: ultralytics/utils/ops.py scale_coords (:699-737) — same
+    gain/pad derivation as scale_boxes, applied to x/y columns only; any
+    extra columns (keypoint visibility) pass through untouched.
+    """
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = ((img1_shape[1] - img0_shape[1] * gain) / 2,
+               (img1_shape[0] - img0_shape[0] * gain) / 2)
+    else:
+        gain = ratio_pad[0][0]
+        pad = ratio_pad[1]
+    x = jnp.clip((coords[..., 0:1] - pad[0]) / gain, 0, img0_shape[1])
+    y = jnp.clip((coords[..., 1:2] - pad[1]) / gain, 0, img0_shape[0])
+    return jnp.concatenate([x, y, coords[..., 2:]], axis=-1)
+
+
 def bbox_iou(box1, box2, xywh=True, GIoU=False, DIoU=False, CIoU=False, eps=1e-7):
     """Elementwise IoU between broadcastable box arrays (last dim 4).
 

@@ -41,12 +41,32 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch, axis="data"):
-    """Device_put a host batch dict with the batch dim sharded over `axis`."""
+    """Device_put a host batch dict with the batch dim sharded over `axis`.
+
+    Multi-process (mesh spans non-addressable devices): each process passes
+    its LOCAL rows — the DataLoader already shards the dataset by
+    process_index — and the global array is assembled from process-local data
+    (the jax replacement for DistributedSampler + DDP input scatter). The effective
+    global batch is per-process batch x process_count, matching the
+    reference's per-GPU batch convention.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh, tree):
-    """Device_put a pytree fully replicated over the mesh."""
+    """Device_put a pytree fully replicated over the mesh.
+
+    Multi-process: every process holds the full value (replicated spec), so
+    process-local data IS the per-device shard everywhere.
+    """
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -79,3 +79,50 @@ def test_serve_mode_accepts_port(monkeypatch):
 def test_unknown_port_rejected_outside_serve():
     with pytest.raises(SyntaxError):
         entrypoint(["predict", "port=8080", "source=x.jpg"])
+
+
+def test_new_special_commands(capsys, tmp_path, monkeypatch):
+    """checks / settings / copy-cfg (reference cfg/__init__.py:313-341)."""
+    assert entrypoint(["checks"]) == 0
+    out = capsys.readouterr().out
+    assert "jax" in out and "devices" in out
+    assert entrypoint(["settings"]) == 0
+    out = capsys.readouterr().out
+    assert "datasets_dir" in out
+    monkeypatch.chdir(tmp_path)
+    assert entrypoint(["copy-cfg"]) == 0
+    assert (tmp_path / "default_copy.yaml").is_file()
+    text = (tmp_path / "default_copy.yaml").read_text()
+    assert "lowlight_FLAG" in text
+
+
+def test_task_token_selects_default_model(monkeypatch):
+    """`segment val ...` must route to the segment model default, not be
+    silently ignored (VERDICT r2 weak #6)."""
+    from dedark_yolo_tpu import __main__ as cli
+    seen = {}
+
+    class FakeModel:
+        task = "segment"
+
+    class FakeYOLO:
+        def __init__(self, spec):
+            seen["model"] = spec
+            self.model = FakeModel()
+
+        def val(self, **kw):
+            seen["mode"] = "val"
+            return {}
+
+    monkeypatch.setattr("dedark_yolo_tpu.engine.model.YOLO", FakeYOLO)
+    rc = cli.entrypoint(["segment", "val", "data=fake.yaml"])
+    assert rc == 0
+    assert seen["model"] == "yolov8-seg.yaml"
+    assert seen["mode"] == "val"
+
+
+def test_unknown_bare_token_errors_with_suggestion(caplog):
+    """Unknown bare tokens are a hard error with a suggestion, not a logged
+    'ignoring' that proceeds as detect-default."""
+    rc = entrypoint(["segmnt", "val", "data=x.yaml"])
+    assert rc == 2
