@@ -43,7 +43,10 @@ def main():
 
     d = model_yaml_load("yolov8l.yaml")  # flagship: lowlight_recovery + ASFF, L
     d["nc"] = 3
-    model = DetectionModel(d, enhance_impl="pallas")
+    # round-3: the XLA chain with the banded-matmul USM outruns the Pallas
+    # fused kernel (~9 ms vs ~30 ms enhance at b256 — the depthwise blur was
+    # VPU-bound; runs/roofline.json + docs/BENCHMARKS.md round-3 notes)
+    model = DetectionModel(d, enhance_impl="xla")
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     # bf16 weights for inference (TPU-native precision; val-parity runs use fp32)
     params = jax.tree_util.tree_map(

@@ -115,10 +115,17 @@ class DetectionPredictor:
 
             return lambda members, img_u8: nms_step(*model.forward(img_u8))
 
+        # per-stage feature dumps (reference predictor.py:136-162
+        # feature_visualization): capture every layer's activation, first
+        # image only, sliced to 32 channels on DEVICE so readback stays tiny
+        viz_capture = (tuple(sp.i for sp in model.specs)
+                       if getattr(a, "visualize", False) else ())
+
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
             from ..nn.heads import decode_detections
             enhanced = None
+            caps = {}
             boxes_l, scores_l = [], []
             # members is a tuple of (params, batch_stats) pairs — a static
             # Python loop unrolled at trace time (one member in the common case)
@@ -128,9 +135,15 @@ class DetectionPredictor:
                     raw, state = model.module.apply(
                         variables, img, train=False, mutable=["intermediates"],
                         capture_intermediates=lambda mdl, name:
-                        "LowlightRecovery" in type(mdl).__name__)
+                        "LowlightRecovery" in type(mdl).__name__,
+                        capture=viz_capture)
+                    if viz_capture:
+                        raw, caps = raw
                     inter = state["intermediates"]
                     enhanced = jax.tree_util.tree_leaves(inter)[0]
+                elif viz_capture and mi == 0:
+                    raw, caps = model.module.apply(variables, img, train=False,
+                                                   capture=viz_capture)
                 else:
                     raw = model.module.apply(variables, img, train=False)
                 if model.head["name"] == "RTDETRDecoder":
@@ -154,6 +167,9 @@ class DetectionPredictor:
             out = {"dets": dets, "counts": counts}
             if enhanced is not None:
                 out["enhanced"] = jnp.clip(enhanced.astype(jnp.float32), 0, 1)
+            if caps:
+                out["features"] = {str(k): v.astype(jnp.float32)
+                                   for k, v in caps.items()}
             return out
 
         return jax.jit(step)
@@ -214,6 +230,13 @@ class DetectionPredictor:
             enhanced = (np.asarray(out["enhanced"]) if "enhanced" in out else None)
             t_inf = (t_disp + time.perf_counter() - t1) / n * 1000
 
+            if "features" in out and paths:
+                # per-stage grids for the FIRST image of the batch
+                from ..utils.plotting import feature_visualization
+                from pathlib import Path as _P
+                feature_visualization(
+                    {int(k): np.asarray(v) for k, v in out["features"].items()},
+                    self.save_dir / "features" / _P(paths[0]).stem)
             for i in range(n):
                 k = int(counts[i])
                 det = dets[i, :k].copy()

@@ -152,11 +152,47 @@ def gaussian_kernel_25(sigma=5.0, dtype=np.float32):
     return (k / k.sum()).astype(dtype)
 
 
-def usm_filter(img, usm_param):
-    """Unsharp mask with 25x25 sigma=5 Gaussian blur, reflect padding.
+@lru_cache(maxsize=16)
+def _usm_blur_matrix(n: int):
+    """(n, n) banded matrix applying the 25-tap sigma-5 Gaussian along one
+    axis with 'reflect' boundary folded in: B[o, reflect(o+k-12)] += g[k].
 
-    Separable: two 1-D depthwise convs (vs the reference's dense 2-D conv per
-    channel, filtersB.py:163-175). img: (B, H, W, 3); usm_param: (B, 1).
+    Depthwise convs run on the TPU's VPU (no MXU mapping) — measured ~24 ms
+    for the separable blur at b256@640; the same blur as two banded matmuls
+    runs ~6 ms on the MXU (runs/roofline.json round-3 experiment)."""
+    g = gaussian_kernel_25(dtype=np.float64)
+    B = np.zeros((n, n), np.float64)
+    for o in range(n):
+        for k in range(25):
+            i = o + k - 12
+            if i < 0:
+                i = -i
+            if i >= n:
+                i = 2 * n - 2 - i
+            B[o, i] += g[k]
+    return B.astype(np.float32)
+
+
+def usm_filter(img, usm_param):
+    """Unsharp mask with 25x25 sigma=5 Gaussian blur, reflect padding — MXU
+    path: the separable blur as two banded matmuls (exact same math as the
+    reference's dense 2-D conv per channel, filtersB.py:163-175).
+
+    img: (B, H, W, 3); usm_param: (B, 1).
+    """
+    Bv = jnp.asarray(_usm_blur_matrix(img.shape[1]), img.dtype)
+    Bh = jnp.asarray(_usm_blur_matrix(img.shape[2]), img.dtype)
+    # f32 inputs keep f32 accuracy (3-pass bf16 on MXU); bf16 stays fast
+    prec = "highest" if img.dtype == jnp.float32 else None
+    blur = jnp.einsum("oh,bhwc->bowc", Bv, img, precision=prec)
+    blur = jnp.einsum("ow,bhwc->bhoc", Bh, blur, precision=prec)
+    s = usm_param[:, None, None, :]
+    return (img - blur) * s + img
+
+
+def usm_filter_conv(img, usm_param):
+    """VPU fallback/reference implementation: two 1-D depthwise convs.
+    Kept as the golden cross-check for usm_filter (tests/test_enhance.py).
     """
     k = jnp.asarray(gaussian_kernel_25(), dtype=img.dtype)
     pad = 12

@@ -344,11 +344,16 @@ class YOLOGraph(nn.Module):
         self.mods = mods
 
     def __call__(self, x, dedark_A=None, IcA=None, train: bool = False,
-                 upto: int | None = None):
+                 upto: int | None = None, capture: tuple = ()):
         """Forward; `upto` (static) truncates the layer walk after layer
         index `upto` and returns that activation — used by the roofline
-        profiler (scripts/roofline.py) to time stage prefixes."""
+        profiler (scripts/roofline.py) to time stage prefixes. `capture`
+        (static tuple of layer indices) additionally returns
+        {i: first-image activation sliced to 32 channels} for
+        feature_visualization (reference predictor.py:136-162) — sliced on
+        device so the host readback stays tiny."""
         saved: Dict[int, jnp.ndarray] = {}
+        caps: Dict[int, jnp.ndarray] = {}
         y = x
         raw = None
         for spec, mod in zip(self.specs, self.mods):
@@ -377,7 +382,10 @@ class YOLOGraph(nn.Module):
                     y = mod(inp, train=train)
             if spec.i in self.save:
                 saved[spec.i] = y
-        return raw if raw is not None else y
+            if spec.i in capture and not isinstance(y, (list, tuple, dict)):
+                caps[spec.i] = y[:1, ..., :32]
+        out = raw if raw is not None else y
+        return (out, caps) if capture else out
 
 
 class DetectionModel:

@@ -48,8 +48,13 @@ def max_pool_same(x, k: int, s: int = 1):
 
 
 def upsample_nearest(x, scale: int = 2):
+    """Integer-factor nearest upsample as broadcast+reshape — identical to
+    jax.image.resize(nearest) for integer scales but lowers to a copy-free
+    broadcast instead of a gather (the FPN top-down stage is HBM-bound)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * scale, w * scale, c), method="nearest")
+    y = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (b, h, scale, w, scale, c))
+    return y.reshape(b, h * scale, w * scale, c)
 
 
 class Conv(nn.Module):

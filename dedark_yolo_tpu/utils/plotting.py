@@ -165,3 +165,32 @@ def annotate_image(img_rgb, dets, names=None, line_width=None):
         cv2.rectangle(img, (x1, y1), (x1 + w, y1 - h - 3), color, -1)
         cv2.putText(img, label, (x1, y1 - 2), 0, lw / 3, (255, 255, 255), tf)
     return img[..., ::-1]  # back to RGB
+
+
+def feature_visualization(caps, save_dir, max_channels=32):
+    """Per-layer feature-map grids (reference plotting.py:497 + predictor
+    visualize flag, predictor.py:136-162): each captured NHWC activation is
+    saved as a grayscale channel grid `stage{i}_features.png`."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for i, act in sorted(caps.items()):
+        a = np.asarray(act)
+        if a.ndim != 4:
+            continue
+        a = a[0]                                   # (H, W, C)
+        n = min(max_channels, a.shape[-1])
+        cols = min(8, n)
+        rows = int(np.ceil(n / cols))
+        fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.3, rows * 1.3),
+                                 squeeze=False, tight_layout=True)
+        flat = axes.ravel()
+        for j, ax in enumerate(flat):
+            ax.axis("off")
+            if j < n:
+                ax.imshow(a[..., j], cmap="gray")
+        fig.suptitle(f"layer {i} {a.shape[0]}x{a.shape[1]}x{act.shape[-1]}")
+        fig.savefig(save_dir / f"stage{i}_features.png", dpi=90)
+        plt.close(fig)

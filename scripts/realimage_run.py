@@ -33,7 +33,13 @@ CROPS = [(380, 560, 20, 140),    # person (left)
          (230, 420, 300, 560)]   # bus front section
 
 
-def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
+def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
+    """Multi-scene derivation (round-3: v2 corpus, >=64-image val so severity
+    sweeps stop being noise-bound — VERDICT r2 next #10). Scene diversity
+    comes from background augmentation: random window + flip/rotation +
+    brightness/gamma jitter of the object-free region, so every image is a
+    distinct scene built from real camera texture; labels stay exact by
+    construction."""
     import cv2
     import yaml
     img = cv2.imread(str(BUS))
@@ -54,6 +60,19 @@ def build_dataset(root, n_train=48, n_val=16, imgsz=320, seed=0):
             y0 = int(rng.integers(625, 1080 - bh))
             x0 = int(rng.integers(0, 810 - bw))
             bg = cv2.resize(img[y0:y0 + bh, x0:x0 + bw], (imgsz, imgsz))
+            # scene diversity: geometric + photometric jitter of the backdrop
+            flip = int(rng.integers(0, 4))
+            if flip == 1:
+                bg = np.fliplr(bg).copy()
+            elif flip == 2:
+                bg = np.flipud(bg).copy()
+            elif flip == 3:
+                bg = np.rot90(bg, 2).copy()
+            gain = float(rng.uniform(0.7, 1.25))
+            gamma = float(rng.uniform(0.8, 1.25))
+            bgf = np.clip((bg.astype(np.float32) / 255.0) ** gamma * gain,
+                          0, 1)
+            bg = (bgf * 255.0).astype(np.uint8)
             rows = []
             for _ in range(int(rng.integers(1, 4))):
                 c = int(rng.integers(0, 3))
@@ -100,8 +119,8 @@ def main():
     ap.add_argument("--control", action="store_true",
                     help="clean-data control run: no degradation, no dedark "
                          "flags — validates the dataset/labels themselves")
-    ap.add_argument("--ntrain", type=int, default=48)
-    ap.add_argument("--nval", type=int, default=16)
+    ap.add_argument("--ntrain", type=int, default=96)
+    ap.add_argument("--nval", type=int, default=64)
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted run from <out>/train/weights/"
                          "last.npz (dataset regeneration is seed-deterministic)")

@@ -105,7 +105,7 @@ def main():
         stage_gflop = ((flops - prev_flops) / 1e9) if flops else float("nan")
         prev_ms, prev_flops = dt, (flops if flops else prev_flops)
         comp_bound_ms = stage_gflop / (PEAK_FLOPS / 1e9) * 1000
-        achieved = stage_gflop / max(stage_ms, 1e-9) / 1e3  # TFLOP/s
+        achieved = stage_gflop / max(stage_ms, 1e-9)  # GFLOP/ms == TFLOP/s
         results.append({
             "stage": name, "upto": upto, "prefix_ms": round(dt, 2),
             "stage_ms": round(stage_ms, 2),

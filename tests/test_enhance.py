@@ -138,3 +138,14 @@ def test_tone_filter_uniform_curve_identity_on_01():
     feats = jnp.zeros((2, 8), jnp.float32)  # tanh_range(0.5,2)(0) = 1.25 each step
     out = np.asarray(E.tone_filter(img, feats))
     np.testing.assert_allclose(out, np.asarray(img), rtol=1e-3, atol=1e-4)
+
+
+def test_usm_matmul_matches_conv():
+    """The MXU banded-matmul USM must match the depthwise-conv reference
+    implementation (same 25-tap Gaussian, same reflect boundary)."""
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 50, 70, 3)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(0, 3, (2, 1)).astype(np.float32))
+    mm = np.asarray(E.usm_filter(img, p))
+    conv = np.asarray(E.usm_filter_conv(img, p))
+    np.testing.assert_allclose(mm, conv, atol=2e-5)
