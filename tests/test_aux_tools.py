@@ -86,6 +86,7 @@ def test_plot_results_and_annotate(tmp_path):
     assert out.shape == img.shape and not np.array_equal(out, img)
 
 
+@pytest.mark.slow
 def test_model_benchmark(synth):
     from dedark_yolo_tpu import YOLO
     rows = YOLO(TINY).benchmark(imgsz=64, batch_sizes=(2,), iters=2, warmup=1)

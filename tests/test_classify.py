@@ -55,6 +55,7 @@ def test_classify_parse_and_forward():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_classify_training_learns(cls_dataset, tmp_path, monkeypatch):
     import yaml
     from dedark_yolo_tpu.engine.classify import ClassificationTrainer

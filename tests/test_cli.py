@@ -38,6 +38,7 @@ def test_typo_suggestion():
         entrypoint(["train", "epochz=3"])
 
 
+@pytest.mark.slow
 def test_predict_mode(tmp_path):
     import cv2
     img = np.full((60, 80, 3), 120, np.uint8)

@@ -88,6 +88,7 @@ def test_predict_and_save(trained, synth_yaml, tmp_path):
         assert len(crops) == n_dets
 
 
+@pytest.mark.slow
 def test_resume(trained, synth_yaml):
     from dedark_yolo_tpu import YOLO
     _, _, run_dir = trained
@@ -101,6 +102,7 @@ def test_resume(trained, synth_yaml):
     assert int(float(rows[-1].split(",")[0])) == 2
 
 
+@pytest.mark.slow
 def test_final_eval_reports_best(synth_yaml, tmp_path):
     """Returned train metrics are the BEST checkpoint's, not the last epoch's
     (reference final_eval vals best.pt, trainer.py:549-558). The re-val of the
@@ -117,6 +119,7 @@ def test_final_eval_reports_best(synth_yaml, tmp_path):
     assert metrics["fitness"] == pytest.approx(meta["best_fitness"], abs=1e-5)
 
 
+@pytest.mark.slow
 def test_sigterm_graceful_stop(synth_yaml, tmp_path):
     """SIGTERM mid-training finishes the epoch, checkpoints, and stops cleanly
     with a resumable last.npz (preemption handling; no reference counterpart)."""
@@ -189,6 +192,7 @@ def test_predict_save_enhanced(trained, synth_yaml, tmp_path):
     assert len(enh) == 4
 
 
+@pytest.mark.slow
 def test_export_bin_and_autobackend(trained, tmp_path):
     """jax.export round trip: exported .bin loads in AutoBackend and matches the
     live model's decode."""
@@ -208,6 +212,7 @@ def test_export_bin_and_autobackend(trained, tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_val_and_predict_exported_artifact(trained, synth_yaml, tmp_path):
     """YOLO('model.bin') routes val/predict through AutoBackend (reference
     standalone modes wrap AutoBackend, validator.py:116-123) and matches the
@@ -233,6 +238,7 @@ def test_val_and_predict_exported_artifact(trained, synth_yaml, tmp_path):
     assert results[0].boxes.data.shape[1] == 6
 
 
+@pytest.mark.slow
 def test_rect_val(trained, synth_yaml):
     """rect=True buckets val images by aspect into static shapes; metrics stay
     consistent with square val."""

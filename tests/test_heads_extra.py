@@ -1,6 +1,7 @@
 """Segment/Pose head module tests (shape + decode)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ def _feats(b=1):
             for i, s in enumerate(shapes)]
 
 
+@pytest.mark.slow
 def test_segment_head_shapes():
     xs = _feats()
     head = Segment(nc=3, nm=32, npr=64)
@@ -38,6 +40,7 @@ def test_pose_head_shapes_and_decode():
     assert (vis >= 0).all() and (vis <= 1).all()
 
 
+@pytest.mark.slow
 def test_transformer_blocks():
     from dedark_yolo_tpu.nn.transformer import AIFI, TransformerBlock, MLP
     from dedark_yolo_tpu.nn.layers import C3TR

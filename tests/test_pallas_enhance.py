@@ -2,6 +2,7 @@
 on CPU; the same kernels compile with Mosaic on real TPU)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dedark_yolo_tpu.nn import enhance as E
@@ -85,6 +86,7 @@ def test_fused_enhance_diff_gradients_match_xla():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_module_trains():
     """LowlightRecovery(impl='pallas') is differentiable end to end."""
     import jax

@@ -83,6 +83,7 @@ def test_dryrun_multichip_entrypoint():
     mod.dryrun_multichip(8)  # asserts finite loss internally
 
 
+@pytest.mark.slow
 def test_spatial_sharded_inference():
     """One image's H axis sharded over all 8 devices: GSPMD partitions the
     convs (automatic halo exchange) and the result matches single-device

@@ -57,6 +57,7 @@ def test_msdeform_attn_shapes_and_weights_sum():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_rtdetr_head_output_contract():
     """(B, nq, 4+nc): boxes and scores both sigmoid-bounded in [0, 1]."""
     from dedark_yolo_tpu.nn.heads import RTDETRDecoder
@@ -72,6 +73,7 @@ def test_rtdetr_head_output_contract():
     assert np.all(np.isfinite(y))
 
 
+@pytest.mark.slow
 def test_rtdetr_model_end_to_end_decode():
     """Builder plumbs extended yaml args; apply_eval returns pixel boxes."""
     from dedark_yolo_tpu.nn.graph import DetectionModel
@@ -146,6 +148,7 @@ def test_greedy_assign_more_gts_than_queries():
     assert len(set(used.tolist())) == 3             # no query reused
 
 
+@pytest.mark.slow
 def test_rtdetr_loss_grads_and_separation():
     """Loss is finite, has gradients, and perfect predictions score lower."""
     from dedark_yolo_tpu.losses.rtdetr import rtdetr_loss
@@ -184,6 +187,7 @@ def test_rtdetr_loss_grads_and_separation():
                for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_rtdetr_facade_predict_and_val(tmp_path):
     """YOLO facade drives an RT-DETR model end to end (predict + val)."""
     from synth import make_synth_dataset
@@ -201,6 +205,7 @@ def test_rtdetr_facade_predict_and_val(tmp_path):
     assert "metrics/mAP50(B)" in metrics
 
 
+@pytest.mark.slow
 def test_rtdetr_val_loss_items_are_real(tmp_path):
     """Training-val must report the actual matching loss for RT-DETR, not
     fabricated zeros (ADVICE r2 #3): the validator runs a train-mode forward
@@ -226,6 +231,7 @@ def test_rtdetr_val_loss_items_are_real(tmp_path):
         "RT-DETR val losses are all zero — fabricated items?", res)
 
 
+@pytest.mark.slow
 def test_rtdetr_tiny_model_learns():
     """Full model + matching loss: loss decreases under adam on one batch."""
     import optax

@@ -1,6 +1,7 @@
 """Segment/pose loss unit tests: finiteness, gradability, zero-fg behavior."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_crop_mask():
     assert out[1].sum() == 64
 
 
+@pytest.mark.slow
 def test_segmentation_loss_runs_and_grads():
     b, nm = 2, 8
     raw, coefs = _maps(extra=nm)
@@ -63,6 +65,7 @@ def test_segmentation_loss_runs_and_grads():
     assert np.abs(np.asarray(grads)).sum() > 0
 
 
+@pytest.mark.slow
 def test_pose_loss_runs_and_grads():
     b, nk = 2, 17
     raw, kpts = _maps(extra=nk * 3)

@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow
+
 SEG_TINY = {
     "nc": 2,
     "backbone": [

@@ -13,6 +13,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dedark_yolo_tpu.engine.server import InferenceServer
 
 TINY = str(Path(__file__).parent / "tiny_model.yaml")

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def _toy_raw_maps(b=2, nc=3, key=0):
     return maps
 
 
+@pytest.mark.slow
 def test_detection_loss_runs_and_finite():
     maps = _toy_raw_maps()
     batch = {
@@ -99,6 +101,7 @@ def test_detection_loss_recovery_folds_into_cls():
     np.testing.assert_allclose(float(i1.dfl), float(i0.dfl), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_detection_loss_gradable():
     maps = _toy_raw_maps()
     batch = {

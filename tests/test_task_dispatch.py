@@ -58,6 +58,7 @@ def _write_yaml(tmp_path, name, d):
     return str(p)
 
 
+@pytest.mark.slow
 def test_yolo_predict_segment(img_dir, tmp_path):
     from dedark_yolo_tpu import YOLO
     m = YOLO(_write_yaml(tmp_path, "seg.yaml", SEG_TINY))
@@ -74,6 +75,7 @@ def test_yolo_predict_segment(img_dir, tmp_path):
     r.plot()  # mask overlay path
 
 
+@pytest.mark.slow
 def test_yolo_predict_pose(img_dir, tmp_path):
     from dedark_yolo_tpu import YOLO
     m = YOLO(_write_yaml(tmp_path, "pose.yaml", POSE_TINY))
@@ -90,6 +92,7 @@ def test_yolo_predict_pose(img_dir, tmp_path):
     r.plot()
 
 
+@pytest.mark.slow
 def test_yolo_predict_classify(img_dir, tmp_path):
     from dedark_yolo_tpu import YOLO
     m = YOLO(_write_yaml(tmp_path, "cls.yaml", CLS_TINY))

@@ -6,6 +6,9 @@ channels, sliced on device) and saves one grayscale grid per stage."""
 from pathlib import Path
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TINY = str(Path(__file__).parent / "tiny_model.yaml")
 
