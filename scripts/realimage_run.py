@@ -36,10 +36,10 @@ CROPS = [(380, 560, 20, 140),    # person (left)
 def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
     """Multi-scene derivation (round-3: v2 corpus, >=64-image val so severity
     sweeps stop being noise-bound — VERDICT r2 next #10). Scene diversity
-    comes from background augmentation: random window + flip/rotation +
-    brightness/gamma jitter of the object-free region, so every image is a
-    distinct scene built from real camera texture; labels stay exact by
-    construction."""
+    comes from background augmentation (random window + flip/rotation of the
+    object-free region) plus scene-level brightness/gamma jitter applied
+    AFTER compositing, so every image is a distinct scene built from real
+    camera texture; labels stay exact by construction."""
     import cv2
     import yaml
     img = cv2.imread(str(BUS))
@@ -68,11 +68,6 @@ def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
                 bg = np.flipud(bg).copy()
             elif flip == 3:
                 bg = np.rot90(bg, 2).copy()
-            gain = float(rng.uniform(0.7, 1.25))
-            gamma = float(rng.uniform(0.8, 1.25))
-            bgf = np.clip((bg.astype(np.float32) / 255.0) ** gamma * gain,
-                          0, 1)
-            bg = (bgf * 255.0).astype(np.uint8)
             rows = []
             for _ in range(int(rng.integers(1, 4))):
                 c = int(rng.integers(0, 3))
@@ -87,6 +82,18 @@ def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
                 rows.append(f"{c} {(px + cw / 2) / imgsz:.6f} "
                             f"{(py + ch / 2) / imgsz:.6f} "
                             f"{cw / imgsz:.6f} {ch / imgsz:.6f}")
+            # photometric jitter of the WHOLE composed scene (exposure/curve
+            # variation, as a camera would apply it). A first v2 attempt
+            # jittered only the background BEFORE pasting; gain>1 backgrounds
+            # then out-shone the unjittered objects, and after the **dark
+            # gamma crush only the brightest pixels survive — the objects
+            # washed out and training collapsed (mAP50 0.25 vs 0.52). Scene-
+            # level jitter preserves relative object/background structure.
+            gain = float(rng.uniform(0.7, 1.25))
+            gamma = float(rng.uniform(0.8, 1.25))
+            bgf = np.clip((bg.astype(np.float32) / 255.0) ** gamma * gain,
+                          0, 1)
+            bg = (bgf * 255.0).astype(np.uint8)
             cv2.imwrite(str(root / "images" / split / f"{split}{k}.jpg"), bg)
             (root / "labels" / split / f"{split}{k}.txt").write_text(
                 "\n".join(rows) + "\n")
