@@ -56,13 +56,17 @@ def main():
                      jnp.float32)
     flops_per_layer = 2 * B * H * H * 9 * C * C
 
+    # every chain includes the backbone's per-conv SiLU: bf16 fuses it, the
+    # int8 paths dequantize -> silu -> requantize (XLA) or fuse it in-kernel
+    # (Pallas act='silu') — the realistic quantized Conv+BN+SiLU block.
     @jax.jit
     def chain_bf16(x):
         for _ in range(L):
-            x = jax.lax.conv_general_dilated(
+            y = jax.lax.conv_general_dilated(
                 x, wb, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                preferred_element_type=jnp.float32)
+            x = (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
         return x
 
     @jax.jit
@@ -72,15 +76,17 @@ def main():
                 x, w8, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            q = jnp.round(acc.astype(jnp.float32) * scale[None, None, None, :])
-            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+            y = acc.astype(jnp.float32) * scale[None, None, None, :]
+            y = y * jax.nn.sigmoid(y) / 0.05
+            x = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
         return x
 
     @jax.jit
     def chain_pallas_int8(x):
         for _ in range(L):
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            x = conv3x3_s1_w8a8(xp, w8, scale, th=16)
+            x = conv3x3_s1_w8a8(xp, w8, scale, out_scale=0.05, th=16,
+                                act="silu")
         return x
 
     xi8 = [jnp.asarray(rng.integers(-128, 127, (B, H, H, C), dtype=np.int8))
