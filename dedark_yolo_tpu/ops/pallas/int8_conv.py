@@ -72,21 +72,25 @@ def _kernel(TH, H, W, act, taps, COT, w3_ref, scale_ref, oscale_ref, x_hbm,
     co = pl.program_id(2)
     HT = H // TH
     i = (b * HT + hi) * COT + co
-    total = pl.num_programs(0) * pl.num_programs(1) * pl.num_programs(2)
-    buf = i % 2
+    # slabs are keyed by (b, hi) — all COT output-channel steps reuse one
+    # copy, so the DMA waits/starts once per slab, not once per step
+    si = b * HT + hi
+    nslab = pl.num_programs(0) * pl.num_programs(1)
+    buf = si % 2
 
     @pl.when(i == 0)
     def _():
         _slab_copy(x_hbm, slabs_ref, sems, 0, b, hi * TH, TH).start()
 
-    _slab_copy(x_hbm, slabs_ref, sems, buf, b, hi * TH, TH).wait()
-
-    @pl.when(i + 1 < total)
+    @pl.when(co == 0)
     def _():
-        nxt = i + 1
-        nhi = (nxt // COT) % HT
-        nb = nxt // (COT * HT)
-        _slab_copy(x_hbm, slabs_ref, sems, (i + 1) % 2, nb, nhi * TH,
+        _slab_copy(x_hbm, slabs_ref, sems, buf, b, hi * TH, TH).wait()
+
+    @pl.when((co == COT - 1) & (si + 1 < nslab))
+    def _():
+        nhi = (si + 1) % HT
+        nb = (si + 1) // HT
+        _slab_copy(x_hbm, slabs_ref, sems, (si + 1) % 2, nb, nhi * TH,
                    TH).start()
 
     slab = slabs_ref.at[buf]
