@@ -70,8 +70,17 @@ class DataLoader:
             else list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(idx)
-        # shard across hosts
-        idx = idx[self.process_index::self.process_count]
+        if self.process_count > 1:
+            # wrap-pad so every process gets the SAME index count (torch
+            # DistributedSampler semantics): unequal shards would give
+            # processes different batch counts, and the jitted train step's
+            # collectives would be entered unequally -> distributed deadlock
+            per = -(-len(idx) // self.process_count)
+            pad = per * self.process_count - len(idx)
+            if pad:
+                reps = -(-pad // len(idx))
+                idx = idx + (idx * reps)[:pad]
+            idx = idx[self.process_index::self.process_count]
         return idx
 
     def __len__(self):

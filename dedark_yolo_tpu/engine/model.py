@@ -59,11 +59,15 @@ class YOLO:
 
     def _load(self, ckpt_path):
         meta, flat = load_checkpoint(ckpt_path)
-        self.model = DetectionModel(meta["model_yaml"])
+        train_args = meta.get("train_args") or {}
+        # the traced filter math must match training (a 'reference'-contrast
+        # checkpoint evaluated with 'channel' contrast is a silently
+        # different function)
+        cm = train_args.get("contrast_mode", "channel")
+        self.model = DetectionModel(meta["model_yaml"], contrast_mode=cm)
         self.model_yaml = meta["model_yaml"]
         self.ckpt_path = ckpt_path
         self.ckpt_meta = meta
-        train_args = meta.get("train_args") or {}
         imgsz = int(train_args.get("imgsz", 640))
         example = jax.eval_shape(self.model.module.init, jax.random.PRNGKey(0),
                                  jax.ShapeDtypeStruct((1, imgsz, imgsz, 3),
@@ -77,7 +81,7 @@ class YOLO:
             else "batch_stats"
         self.batch_stats = restore_tree(flat, bs_section, example["batch_stats"])
         # carry forward training args like the reference (model.py:129-133)
-        for k in ("imgsz", "data", "single_cls"):
+        for k in ("imgsz", "data", "single_cls", "contrast_mode"):
             if k in train_args:
                 self.overrides[k] = train_args[k]
         if "names" in train_args:

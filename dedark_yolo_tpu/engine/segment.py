@@ -180,18 +180,23 @@ class SegmentationValidator:
                 # mask TP: IoU computed in proto space (the reference also
                 # keeps mask IoU in the letterbox frame, segment/val.py
                 # _process_batch masks=True) with exact per-detection
-                # coefficient lookup via the NMS anchor indices
-                tp_mask = self._mask_tp(det, aidx[i, :k], coef_flat[i],
-                                        protos[i], batch["masks"][i], gt_cls,
-                                        s, mh, mw)
+                # coefficient lookup via the NMS anchor indices. The overlap
+                # raster only encodes the first max_boxes instances
+                # (collate_segment polys[:n]) — truncate the mask-branch gts
+                # to the same cap or the overflow becomes phantom gts that no
+                # mask can ever match (the box branch keeps all native labels)
+                cap = batch["cls"].shape[1]
+                gt_cls_m = gt_cls[:cap]
+                tp_mask, pm_crop = self._mask_tp(
+                    det, aidx[i, :k], coef_flat[i], protos[i],
+                    batch["masks"][i], gt_cls_m, s, mh, mw)
                 mask_stats["tp"].append(tp_mask)
                 mask_stats["conf"].append(det[:, 4])
                 mask_stats["pred_cls"].append(det[:, 5])
-                mask_stats["target_cls"].append(gt_cls)
+                mask_stats["target_cls"].append(gt_cls_m)
                 if save_json and k:
                     self._to_json(jdict, Path(ds.im_files[idx]).stem, det_nat,
-                                  aidx[i, :k], coef_flat[i], protos[i],
-                                  s, h0, w0)
+                                  pm_crop, s, h0, w0)
 
         # depth-2 pipeline: dispatch batch i+1 before reading back batch i
         # (mask-IoU host work is heavy — it overlaps the next batch's forward)
@@ -241,22 +246,22 @@ class SegmentationValidator:
                     + " ".join(f"{k}={v:.3f}" for k, v in results.items()))
         return results
 
-    def _to_json(self, jdict, stem, det_nat, a_idx, coefs, proto, s, h0, w0):
+    def _to_json(self, jdict, stem, det_nat, pm, s, h0, w0):
         """COCO-style json rows: native-space boxes + uncompressed RLE masks
         (reference segment/val.py pred_to_json; RLE hand-rolled since
-        pycocotools is not shipped — column-major counts per the COCO spec)."""
+        pycocotools is not shipped — column-major counts per the COCO spec).
+        `pm` is the per-detection box-cropped bool mask stack from _mask_tp
+        — shared so json masks match the evaluated masks (reference
+        process_mask crops by box) and the sigmoid product runs once."""
         import cv2
         image_id = int(stem) if stem.isnumeric() else stem
         n = len(det_nat)
-        mh, mw = proto.shape[0], proto.shape[1]
-        pm = 1 / (1 + np.exp(-(coefs[a_idx] @ proto.reshape(-1, proto.shape[-1]).T)))
-        pm = pm.reshape(n, mh, mw)
+        mh, mw = pm.shape[1], pm.shape[2]
         scale = mh / s
         for j in range(n):
             d = det_nat[j]
-            # crop in proto space (letterbox frame), then remove letterbox pad
-            # and upsample to native resolution
-            m = pm[j] > 0.5
+            # remove letterbox pad and upsample to native resolution
+            m = pm[j]
             gain = min(s / h0, s / w0)
             dw, dh = (s - w0 * gain) / 2 * scale, (s - h0 * gain) / 2 * scale
             y0, y1 = int(round(dh)), int(round(mh - dh)) or mh
@@ -280,12 +285,13 @@ class SegmentationValidator:
     def _mask_tp(self, det, a_idx, coefs, proto, gt_masks_overlap, gt_cls, s,
                  mh, mw, iouv=np.linspace(0.5, 0.95, 10)):
         """Mask-IoU TP matrix for one image's detections (a_idx = the exact
-        anchor index per detection, from NMS return_idx)."""
+        anchor index per detection, from NMS return_idx). Also returns the
+        box-cropped bool masks so save_json reuses them."""
         n = len(det)
         correct = np.zeros((n, len(iouv)), bool)
         n_gt = len(gt_cls)
-        if n == 0 or n_gt == 0:
-            return correct
+        if n == 0:
+            return correct, np.zeros((0, mh, mw), bool)
         pm = 1 / (1 + np.exp(-(coefs[a_idx] @ proto.reshape(-1, proto.shape[-1]).T)))
         pm = pm.reshape(n, mh, mw) > 0.5
         # crop to det box in mask space
@@ -294,6 +300,8 @@ class SegmentationValidator:
         for j in range(n):
             x1, y1, x2, y2 = det[j, :4] * scale
             pm[j] &= (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+        if n_gt == 0:
+            return correct, pm
         gt = np.stack([(gt_masks_overlap == (g + 1)) for g in range(n_gt)])
         inter = (pm[:, None] & gt[None]).sum((2, 3)).astype(np.float64)
         union = (pm[:, None] | gt[None]).sum((2, 3)).astype(np.float64) + 1e-9
@@ -307,7 +315,7 @@ class SegmentationValidator:
                 matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
                 matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
                 correct[matches[:, 0].astype(int), t_i] = True
-        return correct
+        return correct, pm
 
 
 class SegmentationPredictor(DetectionPredictor):

@@ -395,8 +395,16 @@ class BaseTrainer:
                         # construct ONCE: the jitted val step is cached on the
                         # validator, so per-epoch val reuses one compiled graph
                         self._validator = self.get_validator()
-                    metrics = self._validator(model=model, params=ema["params"],
-                                              batch_stats=ema["batch_stats"],
+                    vp, vb = ema["params"], ema["batch_stats"]
+                    if multi_process and self.val_mesh is None:
+                        # EMA lives on the GLOBAL multi-process mesh; a
+                        # process-0-only jit over those arrays would span
+                        # non-addressable devices. Params/EMA are replicated,
+                        # so every shard is addressable here — pull to host
+                        # and let the validator re-place locally.
+                        vp, vb = jax.device_get(vp), jax.device_get(vb)
+                    metrics = self._validator(model=model, params=vp,
+                                              batch_stats=vb,
                                               mesh=self.val_mesh)
                     fitness = metrics.get("fitness", 0.0)
                 if multi_process:

@@ -120,16 +120,21 @@ class DetectionValidator:
                 lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
                           "mask_gt": batch["mask_gt"]}
                 if is_rtdetr:
-                    # the matching loss needs the per-layer aux outputs, which
-                    # only the train-mode forward produces — run it with the
-                    # batch_stats update discarded (no EMA/stat pollution);
-                    # real val losses instead of fabricated zeros (ADVICE #3)
-                    from ..losses.rtdetr import rtdetr_loss
-                    raw_t, _ = model.module.apply(
-                        variables, img, train=True, mutable=["batch_stats"])
-                    total, items = rtdetr_loss(raw_t, lbatch, nc=model.nc,
-                                               hyp=hyp)
-                    out["loss_items"] = jnp.stack(list(items))
+                    # final-layer matching loss straight from the EVAL
+                    # outputs (real val losses instead of fabricated zeros,
+                    # ADVICE #3). A train=True forward would give the aux
+                    # layers too but normalizes BatchNorm with CURRENT-batch
+                    # statistics — a different function from the evaluated
+                    # model. raw = (B, nq, 4+nc): normalized cxcywh + sigmoid
+                    # scores; recover logits for the VFL term.
+                    from ..losses.rtdetr import _layer_loss
+                    p = jnp.clip(raw[..., 4:], 1e-7, 1.0 - 1e-7)
+                    logits = jnp.log(p) - jnp.log1p(-p)
+                    g, c_, l = _layer_loss(
+                        raw[..., :4], logits, lbatch["bboxes"],
+                        lbatch["cls"],
+                        lbatch["mask_gt"].astype(raw.dtype), model.nc)
+                    out["loss_items"] = jnp.stack([g, c_, l])
                 else:
                     total, items = detection_loss(raw, lbatch, nc=model.nc,
                                                   strides=model.strides, hyp=hyp)
