@@ -117,6 +117,16 @@ def test_host_sharding(synth):
     i0 = dl0._indices()
     i1 = dl1._indices()
     assert set(i0).isdisjoint(i1)
+    # odd totals wrap-pad (DistributedSampler semantics): every process MUST
+    # see the same index/batch count or the jitted train step's collectives
+    # are entered unequally -> multi-process deadlock
+    kw = dict(batch_size=2, max_boxes=32, seed=0, workers=1,
+              indices=list(range(5)), process_count=2)
+    do0 = DataLoader(ds, tf, process_index=0, **kw)
+    do1 = DataLoader(ds, tf, process_index=1, **kw)
+    assert len(do0._indices()) == len(do1._indices()) == 3
+    assert len(do0) == len(do1)
+    assert set(do0._indices()) | set(do1._indices()) == set(range(5))
 
 
 def test_val_transforms(synth):
