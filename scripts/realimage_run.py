@@ -33,7 +33,8 @@ CROPS = [(380, 560, 20, 140),    # person (left)
          (230, 420, 300, 560)]   # bus front section
 
 
-def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
+def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0,
+                  val_jitter=True):
     """Multi-scene derivation (round-3: v2 corpus, >=64-image val so severity
     sweeps stop being noise-bound — VERDICT r2 next #10). Scene diversity
     comes from background augmentation (random window + flip/rotation of the
@@ -89,11 +90,16 @@ def build_dataset(root, n_train=96, n_val=64, imgsz=320, seed=0):
             # gamma crush only the brightest pixels survive — the objects
             # washed out and training collapsed (mAP50 0.25 vs 0.52). Scene-
             # level jitter preserves relative object/background structure.
+            # (draws always happen so the rng stream — and therefore every
+            # other image in the run — is identical whether or not the
+            # jitter is applied; val_jitter=False gives a CONTROLLED-exposure
+            # val split for severity claims while train keeps the diversity)
             gain = float(rng.uniform(0.7, 1.25))
             gamma = float(rng.uniform(0.8, 1.25))
-            bgf = np.clip((bg.astype(np.float32) / 255.0) ** gamma * gain,
-                          0, 1)
-            bg = (bgf * 255.0).astype(np.uint8)
+            if split == "train" or val_jitter:
+                bgf = np.clip((bg.astype(np.float32) / 255.0) ** gamma * gain,
+                              0, 1)
+                bg = (bgf * 255.0).astype(np.uint8)
             cv2.imwrite(str(root / "images" / split / f"{split}{k}.jpg"), bg)
             (root / "labels" / split / f"{split}{k}.txt").write_text(
                 "\n".join(rows) + "\n")
@@ -128,6 +134,9 @@ def main():
                          "flags — validates the dataset/labels themselves")
     ap.add_argument("--ntrain", type=int, default=96)
     ap.add_argument("--nval", type=int, default=64)
+    ap.add_argument("--no-val-jitter", action="store_true",
+                    help="controlled-exposure val split (train stays "
+                         "jittered): isolates crush severity for the sweep")
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted run from <out>/train/weights/"
                          "last.npz (dataset regeneration is seed-deterministic)")
@@ -143,7 +152,7 @@ def main():
 
     out = Path(args.out)
     yp = build_dataset(out / "data", n_train=args.ntrain, n_val=args.nval,
-                       imgsz=args.imgsz)
+                       imgsz=args.imgsz, val_jitter=not args.no_val_jitter)
     dedark_kw = dict(lowlight_FLAG=True, dedark_FLAG=True,
                      dark_param=args.dark, prior_mode="computed", lrl=2.0)
     if args.control:
