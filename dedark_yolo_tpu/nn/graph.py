@@ -74,6 +74,37 @@ _HEADS = {"Detect", "AsffDetect", "Segment", "Pose", "RTDETRDecoder"}
 # spatial stride multiplier contributed by a module (static)
 _STRIDE2 = {"Focus", "HGStem"}
 
+# modules whose __call__ accepts a list-of-tensors input as a *virtual*
+# channel-concat (their leading 1x1 conv splits across K — see
+# layers.ConcatConv); for these a graph-level Concat can stay lazy
+_LIST_INPUT_OK = set(_C2F_FAMILY) | {"C2", "C3", "C3x", "C3TR", "C3Ghost",
+                                     "SPP", "SPPF"}
+
+
+class LazyConcat(list):
+    """A graph-level channel-concat kept as its unconcatenated parts.
+
+    Produced by Concat layers; consumed either by a _LIST_INPUT_OK module
+    (which contracts the parts with split-K partial dots, never materializing
+    the concat buffer) or materialized with jnp.concatenate at the first
+    consumer that needs a dense tensor."""
+
+
+def _dense(v):
+    return jnp.concatenate(list(v), axis=-1) if isinstance(v, LazyConcat) else v
+
+
+def _spec_takes_list(spec: LayerSpec) -> bool:
+    if not L.ELIDE_CONCAT:
+        return False
+    if spec.name in _LIST_INPUT_OK:
+        return True
+    if spec.name == "Conv":
+        k = spec.args[1] if len(spec.args) > 1 else 1
+        s = spec.args[2] if len(spec.args) > 2 else 1
+        return k == 1 and s == 1
+    return False
+
 
 def parse_model(d: dict, ch: int = 3, verbose: bool = False):
     """Parse a model yaml dict into (specs, savelist, head_info).
@@ -358,16 +389,26 @@ class YOLOGraph(nn.Module):
         raw = None
         for spec, mod in zip(self.specs, self.mods):
             if upto is not None and spec.i > upto:
-                return y
+                return _dense(y)
             if len(spec.f) == 1:
                 inp = y if spec.f[0] == -1 else saved[spec.f[0]]
+                if isinstance(inp, LazyConcat) and not _spec_takes_list(spec):
+                    inp = _dense(inp)
             else:
                 inp = [y if fi == -1 else saved[fi] for fi in spec.f]
+                if spec.name != "Concat":
+                    # heads/ASFF/MFRU expect dense per-level tensors
+                    inp = [_dense(v) for v in inp]
             if spec.name == "nn.Upsample":
                 sf = int(spec.args[1]) if len(spec.args) > 1 and spec.args[1] else 2
                 y = L.upsample_nearest(inp, sf)
             elif spec.name == "Concat":
-                y = jnp.concatenate(inp, axis=-1)  # axis 1 (channels) in the ref
+                # axis 1 (channels) in the ref; kept lazy when the consumer
+                # can contract the parts without materializing (ConcatConv)
+                parts: List[jnp.ndarray] = []
+                for v in inp:
+                    parts.extend(v) if isinstance(v, LazyConcat) else parts.append(v)
+                y = LazyConcat(parts) if L.ELIDE_CONCAT else jnp.concatenate(parts, axis=-1)
             elif spec.name == "lowlight_recovery":
                 y = mod(inp, dedark_A=dedark_A, IcA=IcA, train=train)
             elif spec.name in _HEADS:
@@ -382,9 +423,12 @@ class YOLOGraph(nn.Module):
                     y = mod(inp, train=train)
             if spec.i in self.save:
                 saved[spec.i] = y
-            if spec.i in capture and not isinstance(y, (list, tuple, dict)):
-                caps[spec.i] = y[:1, ..., :32]
-        out = raw if raw is not None else y
+            if spec.i in capture:
+                if isinstance(y, LazyConcat):
+                    caps[spec.i] = _dense(y)[:1, ..., :32]
+                elif not isinstance(y, (list, tuple, dict)):
+                    caps[spec.i] = y[:1, ..., :32]
+        out = raw if raw is not None else _dense(y)
         return (out, caps) if capture else out
 
 

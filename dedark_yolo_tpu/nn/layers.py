@@ -13,6 +13,7 @@ hyperparameters (the reference threads c1 explicitly through parse_model).
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -57,6 +58,54 @@ def upsample_nearest(x, scale: int = 2):
     return y.reshape(b, h * scale, w * scale, c)
 
 
+# Trace-time switch for channel-concat elision (split-K partial dots instead of
+# materializing concatenated activations). Parameter trees are identical either
+# way, so the same checkpoint works with the flag on or off.
+# DEDARK_ELIDE_CONCAT=0 disables it (A/B benchmarking).
+ELIDE_CONCAT = _os.environ.get("DEDARK_ELIDE_CONCAT", "1").lower() not in (
+    "0", "false", "off")
+
+
+def set_concat_elision(on: bool):
+    global ELIDE_CONCAT
+    ELIDE_CONCAT = bool(on)
+
+
+class ConcatConv(nn.Module):
+    """1x1 stride-1 conv over a *virtual* channel-concat of its inputs.
+
+    XLA materializes `concatenate` feeding a convolution/dot as a real HBM
+    buffer (write + re-read); on the flagship graph at batch 256 those concat
+    buffers in the backbone C2f blocks and the FPN are several GB of pure
+    bandwidth. This module is parameter-compatible with
+    nn.Conv(features, (1,1), use_bias=False) — a single 'kernel' of shape
+    (1, 1, sum(Cin), features) — but computes sum_i dot(x_i, kernel_i) with
+    fp32 accumulation, never forming the concatenated activation. Numerically
+    within accumulation rounding of the fused conv (exact contraction order
+    differs; partials are accumulated in fp32 like the MXU does internally).
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, xs):
+        cs = [t.shape[-1] for t in xs]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, sum(cs), self.features), jnp.float32)
+        # mirror flax promote_dtype: compute in result_type(inputs, kernel)
+        dt = jnp.result_type(*([t.dtype for t in xs] + [kernel.dtype]))
+        w2d = kernel[0, 0].astype(dt)
+        acc = None
+        off = 0
+        for t, c in zip(xs, cs):
+            part = jax.lax.dot_general(
+                t.astype(dt), w2d[off:off + c, :],
+                (((t.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+            off += c
+        return acc.astype(dt)
+
+
 class Conv(nn.Module):
     """Conv2d + BN + act. Reference conv.py:38-55."""
     c2: int
@@ -70,9 +119,23 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = autopad(self.k, self.p, self.d)
-        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                    padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
-                    kernel_dilation=(self.d, self.d), use_bias=False)(x)
+        if isinstance(x, (list, tuple)):
+            # virtual channel-concat input (see ConcatConv); only a 1x1/s1
+            # ungrouped conv can split across K — otherwise materialize
+            if (ELIDE_CONCAT and self.k == 1 and self.s == 1 and self.g == 1
+                    and self.d == 1 and pad == 0):
+                x = ConcatConv(self.c2, name="Conv_0")(list(x))
+            else:
+                x = jnp.concatenate(list(x), axis=-1)
+                x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                            padding=((pad, pad), (pad, pad)),
+                            feature_group_count=self.g,
+                            kernel_dilation=(self.d, self.d), use_bias=False,
+                            name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
+                        kernel_dilation=(self.d, self.d), use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS)(x)
         act = self.act if self.act is not True else "silu"
@@ -544,7 +607,7 @@ class C2(nn.Module):
         a, b = jnp.split(y, 2, axis=-1)
         for _ in range(self.n):
             a = Bottleneck(c, self.shortcut, self.g, (3, 3), 1.0)(a, train)
-        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+        return Conv(self.c2, 1)([a, b], train)
 
 
 class C2f(nn.Module):
@@ -578,7 +641,7 @@ class C2f(nn.Module):
         }[self.bottleneck]
         for _ in range(self.n):
             ys.append(ctor()(ys[-1], train))
-        return Conv(self.c2, 1)(jnp.concatenate(ys, axis=-1), train)
+        return Conv(self.c2, 1)(ys, train)  # virtual concat (split-K conv)
 
 
 class C3(nn.Module):
@@ -597,7 +660,7 @@ class C3(nn.Module):
         for _ in range(self.n):
             a = Bottleneck(c_, self.shortcut, self.g, self.k, 1.0)(a, train)
         b = Conv(c_, 1, 1)(x, train)
-        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+        return Conv(self.c2, 1)([a, b], train)
 
 
 class C3x(nn.Module):
@@ -617,7 +680,7 @@ class C3x(nn.Module):
             y = CrossConv(c_, (3, 1))(y, train)
             a = a + y if self.shortcut else y
         b = Conv(c_, 1, 1)(x, train)
-        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+        return Conv(self.c2, 1)([a, b], train)
 
 
 class CrossConv(nn.Module):
@@ -651,7 +714,7 @@ class C3TR(nn.Module):
         a = Conv(c_, 1, 1)(x, train)
         a = TransformerBlock(c_, 4, self.n)(a, train)
         b = Conv(c_, 1, 1)(x, train)
-        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+        return Conv(self.c2, 1)([a, b], train)
 
 
 class RepC3(nn.Module):
@@ -688,7 +751,7 @@ class C3Ghost(nn.Module):
         for _ in range(self.n):
             a = GhostBottleneck(c_)(a, train)
         b = Conv(c_, 1, 1)(x, train)
-        return Conv(self.c2, 1)(jnp.concatenate([a, b], axis=-1), train)
+        return Conv(self.c2, 1)([a, b], train)
 
 
 class BottleneckCSP(nn.Module):
@@ -720,10 +783,11 @@ class SPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1)(x, train)
+        c_in = (sum(t.shape[-1] for t in x) if isinstance(x, (list, tuple))
+                else x.shape[-1])
+        x = Conv(c_in // 2, 1, 1)(x, train)
         pools = [max_pool_same(x, k) for k in self.k]
-        return Conv(self.c2, 1, 1)(jnp.concatenate([x] + pools, axis=-1), train)
+        return Conv(self.c2, 1, 1)([x] + pools, train)
 
 
 class SPPF(nn.Module):
@@ -733,12 +797,13 @@ class SPPF(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1)(x, train)
+        c_in = (sum(t.shape[-1] for t in x) if isinstance(x, (list, tuple))
+                else x.shape[-1])
+        x = Conv(c_in // 2, 1, 1)(x, train)
         y1 = max_pool_same(x, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
-        return Conv(self.c2, 1, 1)(jnp.concatenate([x, y1, y2, y3], axis=-1), train)
+        return Conv(self.c2, 1, 1)([x, y1, y2, y3], train)
 
 
 class HGStem(nn.Module):
