@@ -841,7 +841,7 @@ class HGBlock(nn.Module):
                 ys.append(LightConv(self.cm, self.k)(ys[-1], train))
             else:
                 ys.append(Conv(self.cm, self.k, act="relu")(ys[-1], train))
-        y = Conv(self.c2 // 2, 1, 1, act="relu")(jnp.concatenate(ys, axis=-1), train)
+        y = Conv(self.c2 // 2, 1, 1, act="relu")(ys, train)  # virtual concat
         y = Conv(self.c2, 1, 1, act="relu")(y, train)
         return y + x if self.shortcut and x.shape[-1] == self.c2 else y
 

@@ -106,3 +106,18 @@ def test_lazy_concat_densified_for_non_elidable_consumer():
     d = _dense(lc)
     assert d.shape == (1, 4, 4, 5)
     np.testing.assert_array_equal(np.asarray(d[..., :2]), np.ones((1, 4, 4, 2)))
+
+
+def test_hgblock_elision_equivalence():
+    """HGBlock's inner concat feeds a 1x1 conv; elided path must match."""
+    x = np.random.default_rng(3).uniform(0, 1, (2, 16, 16, 32)).astype(np.float32)
+    m = L.HGBlock(cm=24, c2=32, n=3, shortcut=True)
+    L.set_concat_elision(False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    L.set_concat_elision(True)
+    v2 = m.init(jax.random.PRNGKey(0), x)
+    assert _tree_shapes(v) == _tree_shapes(v2)
+    out = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-4, atol=2e-5)
