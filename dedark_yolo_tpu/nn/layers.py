@@ -884,59 +884,86 @@ class AsffTribeLevel(nn.Module):
 
     Input: [deepest P5 (512ch, s32), P4 (512ch, s16), P3 (256ch, s8)] — dims
     hardcoded [512, 512, 256] like the reference (L-scale only).
+
+    commute_weights: the 8-channel compress convs on upsampled branches run
+    at the PRE-upsample resolution and the tiny output is upsampled instead
+    — exact, because a 1x1 stride-1 conv + per-channel BN + pointwise act
+    commutes with integer nearest upsample (each source pixel maps to an
+    identical block; batch stats over the repeated multiset are unchanged).
+    This keeps the fat 40/80px 256-512ch upsampled tensors out of the
+    weight branch entirely (HBM-traffic fix for the 36%-of-peak roofline
+    row). Param tree is identical either way.
     """
     level: int
+    commute_weights: bool = True
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         dim = [512, 512, 256]
         inter = dim[self.level]
         x0, x1, x2 = xs
+        compress_c = 8
+        # (branch tensor at full level resolution, pre-upsample tensor, scale)
         if self.level == 0:
-            r0 = x0
-            r1 = nn.max_pool(x1, (2, 2), strides=(2, 2))
+            r0 = (x0, x0, 1)
+            r1 = (nn.max_pool(x1, (2, 2), strides=(2, 2)),) * 2 + (1,)
             r2 = max_pool_same(x2, 3, 2)
-            r2 = AddConv(inter, 3, 2)(r2, train)
+            r2 = (AddConv(inter, 3, 2)(r2, train),) * 2 + (1,)
             expand_c = 512
         elif self.level == 1:
-            r0 = upsample_nearest(x0, 2)
-            r1 = x1
-            r2 = AddConv(inter, 3, 2)(x2, train)
+            r0 = (upsample_nearest(x0, 2), x0, 2)
+            r1 = (x1, x1, 1)
+            r2 = (AddConv(inter, 3, 2)(x2, train),) * 2 + (1,)
             expand_c = 512
         else:
-            r0 = upsample_nearest(AddConv(inter, 1, 1)(x0, train), 4)
-            r1 = upsample_nearest(AddConv(inter, 1, 1)(x1, train), 2)
-            r2 = x2
+            a0 = AddConv(inter, 1, 1)(x0, train)
+            a1 = AddConv(inter, 1, 1)(x1, train)
+            r0 = (upsample_nearest(a0, 4), a0, 4)
+            r1 = (upsample_nearest(a1, 2), a1, 2)
+            r2 = (x2, x2, 1)
             expand_c = 256
-        compress_c = 8
-        w0 = AddConv(compress_c, 1, 1)(r0, train)
-        w1 = AddConv(compress_c, 1, 1)(r1, train)
-        w2 = AddConv(compress_c, 1, 1)(r2, train)
-        w = Conv2d(3, 1, 1, p=0)(jnp.concatenate([w0, w1, w2], axis=-1), train)
+        ws = []
+        for full, pre, scale in (r0, r1, r2):
+            cmp = AddConv(compress_c, 1, 1)
+            if self.commute_weights and scale > 1:
+                ws.append(upsample_nearest(cmp(pre, train), scale))
+            else:
+                ws.append(cmp(full, train))
+        w = Conv2d(3, 1, 1, p=0)(jnp.concatenate(ws, axis=-1), train)
         w = jax.nn.softmax(w, axis=-1)
-        fused = (r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3])
+        fused = (r0[0] * w[..., 0:1] + r1[0] * w[..., 1:2]
+                 + r2[0] * w[..., 2:3])
         return AddConv(expand_c, 3, 1)(fused, train)
 
 
 class AsffDoubLevel(nn.Module):
-    """2-level ASFF. Reference block.py:118-162."""
+    """2-level ASFF. Reference block.py:118-162.
+
+    commute_weights: see AsffTribeLevel — exact weight-branch commute past
+    the nearest upsample.
+    """
     level: int
+    commute_weights: bool = True
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
         dim = [512, 256]
         inter = dim[self.level]
         x0, x1 = xs
+        compress_c = 16
         if self.level == 0:
             r0 = x0
             r1 = AddConv(inter, 3, 2)(x1, train)
             expand_c = 512
+            w0 = AddConv(compress_c, 1, 1)(r0, train)
         else:
-            r0 = upsample_nearest(AddConv(inter, 1, 1)(x0, train), 2)
+            a0 = AddConv(inter, 1, 1)(x0, train)
+            r0 = upsample_nearest(a0, 2)
             r1 = x1
             expand_c = 256
-        compress_c = 16
-        w0 = AddConv(compress_c, 1, 1)(r0, train)
+            cmp0 = AddConv(compress_c, 1, 1)
+            w0 = (upsample_nearest(cmp0(a0, train), 2)
+                  if self.commute_weights else cmp0(r0, train))
         w1 = AddConv(compress_c, 1, 1)(r1, train)
         w = Conv2d(2, 1, 1, p=0)(jnp.concatenate([w0, w1], axis=-1), train)
         w = jax.nn.softmax(w, axis=-1)
