@@ -194,13 +194,13 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         elif m == "lowlight_recovery":
             c2 = args[0]
         elif m == "MFRU":
-            c2 = 256
+            c2 = in_ch(f_tuple[2])  # 256 at L; derived so every scale builds
             stride = in_stride(f_tuple[2])
-        elif m == "AsffDoubLevel":
-            c2 = 512 if args[0] == 0 else 256
-            stride = in_stride(f_tuple[args[0]])
-        elif m == "AsffTribeLevel":
-            c2 = 512 if args[0] in (0, 1) else 256
+        elif m in ("AsffDoubLevel", "AsffTribeLevel"):
+            # output channels = the fused level's input channels (equals the
+            # reference's hardcoded 512/512/256 at the L scale; derived here
+            # so every scale token builds — see layers.py AsffTribeLevel)
+            c2 = in_ch(f_tuple[args[0]])
             stride = in_stride(f_tuple[args[0]])
         elif m == "RFBblock":
             c2 = (c1 // 4) * 4

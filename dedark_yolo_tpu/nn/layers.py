@@ -882,8 +882,12 @@ class RFBblock(nn.Module):
 class AsffTribeLevel(nn.Module):
     """Adaptive 3-level spatial feature fusion. Reference block.py:48-115.
 
-    Input: [deepest P5 (512ch, s32), P4 (512ch, s16), P3 (256ch, s8)] — dims
-    hardcoded [512, 512, 256] like the reference (L-scale only).
+    Input: [deepest P5, P4, P3]. The reference hardcodes dims [512, 512, 256]
+    and only works at the L scale (block.py:48-115 warns); here dims derive
+    from the actual input channels — identical modules and param tree at L,
+    and other scale tokens (n/s/m/x) build too. When a branch's channel count
+    differs from the level's (possible at non-L scales where P5 != P4 width),
+    an aligning 1x1 AddConv is inserted; at L none is created.
 
     commute_weights: the 8-channel compress convs on upsampled branches run
     at the PRE-upsample resolution and the tiny output is upsampled instead
@@ -899,29 +903,33 @@ class AsffTribeLevel(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
-        dim = [512, 512, 256]
+        dim = [x.shape[-1] for x in xs]  # [512, 512, 256] at the L scale
         inter = dim[self.level]
         x0, x1, x2 = xs
         compress_c = 8
+
+        def align(t):
+            # non-L scales only: bring a mismatched branch to `inter` ch
+            return t if t.shape[-1] == inter else AddConv(inter, 1, 1)(t, train)
+
         # (branch tensor at full level resolution, pre-upsample tensor, scale)
         if self.level == 0:
             r0 = (x0, x0, 1)
-            r1 = (nn.max_pool(x1, (2, 2), strides=(2, 2)),) * 2 + (1,)
+            r1 = (align(nn.max_pool(x1, (2, 2), strides=(2, 2))),) * 2 + (1,)
             r2 = max_pool_same(x2, 3, 2)
             r2 = (AddConv(inter, 3, 2)(r2, train),) * 2 + (1,)
-            expand_c = 512
         elif self.level == 1:
-            r0 = (upsample_nearest(x0, 2), x0, 2)
+            a0 = align(x0)
+            r0 = (upsample_nearest(a0, 2), a0, 2)
             r1 = (x1, x1, 1)
             r2 = (AddConv(inter, 3, 2)(x2, train),) * 2 + (1,)
-            expand_c = 512
         else:
             a0 = AddConv(inter, 1, 1)(x0, train)
             a1 = AddConv(inter, 1, 1)(x1, train)
             r0 = (upsample_nearest(a0, 4), a0, 4)
             r1 = (upsample_nearest(a1, 2), a1, 2)
             r2 = (x2, x2, 1)
-            expand_c = 256
+        expand_c = inter
         ws = []
         for full, pre, scale in (r0, r1, r2):
             cmp = AddConv(compress_c, 1, 1)
@@ -939,28 +947,28 @@ class AsffTribeLevel(nn.Module):
 class AsffDoubLevel(nn.Module):
     """2-level ASFF. Reference block.py:118-162.
 
-    commute_weights: see AsffTribeLevel — exact weight-branch commute past
-    the nearest upsample.
+    Dims derive from the input channels (identical to the reference's
+    hardcoded [512, 256] at the L scale; other scales build too — see
+    AsffTribeLevel). commute_weights: exact weight-branch commute past the
+    nearest upsample (see AsffTribeLevel).
     """
     level: int
     commute_weights: bool = True
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
-        dim = [512, 256]
-        inter = dim[self.level]
         x0, x1 = xs
+        inter = x0.shape[-1] if self.level == 0 else x1.shape[-1]
+        expand_c = inter
         compress_c = 16
         if self.level == 0:
             r0 = x0
             r1 = AddConv(inter, 3, 2)(x1, train)
-            expand_c = 512
             w0 = AddConv(compress_c, 1, 1)(r0, train)
         else:
             a0 = AddConv(inter, 1, 1)(x0, train)
             r0 = upsample_nearest(a0, 2)
             r1 = x1
-            expand_c = 256
             cmp0 = AddConv(compress_c, 1, 1)
             w0 = (upsample_nearest(cmp0(a0, train), 2)
                   if self.commute_weights else cmp0(r0, train))
@@ -976,18 +984,25 @@ class MFRU(nn.Module):
 
     Deviation noted: the reference *shares* one scconv512/pwconv instance across
     levels 0 and 1 (same nn.Module applied twice); we share identically by reusing
-    the same submodule instance.
+    the same submodule instance. Dims derive from the input channels (the
+    reference hardcodes 512/256, L-scale only); when P5/P4 widths differ
+    (non-L scales), P4 is aligned to P5's width with a 1x1 AddConv so the
+    shared SCConv still applies — no extra module is created at L.
     """
     level: int = 0  # unused; kept for yaml-arg parity
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
-        sc512 = SCConv(512)
-        sc256 = SCConv(256)
-        pw = Conv2d(256, 1, 1, p=0)
-        l0 = upsample_nearest(pw(sc512(xs[0], train), train), 4)
-        l1 = upsample_nearest(pw(sc512(xs[1], train), train), 2)
-        l2 = sc256(xs[2], train)
+        c_deep = xs[0].shape[-1]   # 512 at L
+        c_out = xs[2].shape[-1]    # 256 at L
+        sc_deep = SCConv(c_deep)
+        sc_out = SCConv(c_out)
+        pw = Conv2d(c_out, 1, 1, p=0)
+        x1 = (xs[1] if xs[1].shape[-1] == c_deep
+              else AddConv(c_deep, 1, 1)(xs[1], train))
+        l0 = upsample_nearest(pw(sc_deep(xs[0], train), train), 4)
+        l1 = upsample_nearest(pw(sc_deep(x1, train), train), 2)
+        l2 = sc_out(xs[2], train)
         compress_c = 16
         w0 = Conv2d(compress_c, 1, 1, p=0)(l0, train)
         w1 = Conv2d(compress_c, 1, 1, p=0)(l1, train)
@@ -995,7 +1010,7 @@ class MFRU(nn.Module):
         w = Conv2d(3, 1, 1, p=0)(jnp.concatenate([w0, w1, w2], axis=-1), train)
         w = jax.nn.softmax(w, axis=-1)
         fused = l0 * w[..., 0:1] + l1 * w[..., 1:2] + l2 * w[..., 2:3]
-        return sc256(fused, train)
+        return sc_out(fused, train)
 
 
 class Classify(nn.Module):

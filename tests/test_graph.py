@@ -97,8 +97,21 @@ def test_variant_yamls_build(name):
 
     ASFF/MFRU variants use the reference's hardcoded L-scale dims (the reference
     README warns these only fit the L scale), so they build at 'l'."""
+    _build_variant(name, "l" if ("asff" in name or "twohead" in name) else "n")
+
+
+@pytest.mark.parametrize("name", [n for n in VARIANTS
+                                  if "asff" in n or "twohead" in n])
+def test_asff_variants_build_at_n_scale(name):
+    """Beyond-reference: ASFF dims derive from input channels (layers.py
+    AsffTribeLevel), so the ASFF variants build at every scale token — the
+    reference's hardcoded [512,512,256] only fits L (block.py:48-115)."""
+    _build_variant(name, "n")
+
+
+def _build_variant(name, scale):
     d = model_yaml_load(f"dedark_yolo_tpu/cfg/models/{name}")
-    d["scale"] = "l" if ("asff" in name or "twohead" in name) else "n"
+    d["scale"] = scale
     m = DetectionModel(d)
     sz = 128 if "p6" in name else 64
     shapes = jax.eval_shape(m.module.init, jax.random.PRNGKey(0),
