@@ -5,8 +5,11 @@ Consumes the same `[from, repeats, module, args]` YAML schema as the reference
   - depth/width/max_channels compound scaling per n/s/m/l/x (tasks.py:815-821);
   - c2 = make_divisible(min(c2, max_channels) * width, 8) unless c2 == nc;
   - lowlight_recovery -> c2 = args[0] (tasks.py:888-889);
-  - MFRU -> 256 (:890-891); AsffDoubLevel -> 512/256, AsffTribeLevel -> 512/512/256
-    by level (:892-896);
+  - MFRU / AsffDoubLevel / AsffTribeLevel -> output width derived from the
+    actual from-layer input channels (the reference hardcodes the L-scale
+    values 256 / 512,256 / 512,512,256 at :890-896 and only builds at L;
+    here every n/s/m/l/x scale token builds, and at L the derived dims —
+    and the flax param tree — match the reference exactly);
   - Detect/AsffDetect get the ch list of their from-layers (:897-900).
 
 TPU design: parsing produces a static tuple of LayerSpec; the flax `YOLOGraph`

@@ -2,10 +2,10 @@
 
 The round-3 roofline put "ASFF fusion x3" at 36% of bf16 peak (29.2 ms of a
 ~335 ms b256 step). This script isolates each AsffTribeLevel and its pieces:
-per level it times (a) the full module, (b) only the expand 3x3 conv at the
-level's resolution, and (c) only the weight branch (3x compress convs +
-3-ch conv + softmax + weighted sum). The gap between (a) and (b) is the
-non-MXU overhead the fusion adds on top of the unavoidable expand conv.
+per level it times (a) the full module and (b) only the expand 3x3 conv at
+the level's resolution. The gap between (a) and (b) is everything the fusion
+adds on top of the unavoidable expand conv: the weight branch (compress
+convs + 3-ch conv + softmax), the resizes, and the fused weighted sum.
 
 Honest-timing rules for the axon transport (docs/BENCHMARKS.md): a single jit
 call runs `chain` applications via lax.scan over stacked inputs (amortizes the
@@ -94,7 +94,7 @@ def main():
 
         # (b) only the expand 3x3 conv at this level's resolution
         out_sh = shapes[level][:3] + (dim,)
-        conv = L.AddConv([512, 512, 256][level] if level == 2 else 512, 3, 1)
+        conv = L.AddConv(dim, 3, 1)
         xin = staged(out_sh)
         cv = conv.init(jax.random.PRNGKey(0), jnp.zeros(out_sh, jnp.bfloat16))
         cv = jax.tree_util.tree_map(
@@ -113,8 +113,9 @@ def main():
             "full_ms": round(ms, 2), "expand_ms": round(ems, 2),
             "overhead_ms": round(ms - ems, 2),
             "expand_gflop": round(float(gflop), 1),
+            # gflop [GFLOP] / ems [ms] = TFLOPS achieved; divide by peak TFLOPS
             "expand_pct_peak": round(
-                float(gflop) / 1e3 / max(ems, 1e-9) / (PEAK_FLOPS / 1e12)
+                float(gflop) / max(ems, 1e-9) / (PEAK_FLOPS / 1e12)
                 * 100, 1),
         }
         print(f"level {level}: full {ms:.2f} ms  expand-conv {ems:.2f} ms "

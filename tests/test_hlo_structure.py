@@ -60,16 +60,17 @@ def test_concat_elision_removes_concatenates_from_flagship():
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
 
     counts = {}
-    for on in (True, False):
-        L.set_concat_elision(on)
-        try:
+    entry = L.ELIDE_CONCAT
+    try:
+        for on in (True, False):
+            L.set_concat_elision(on)
             m = DetectionModel(d)
             v = m.init(jax.random.PRNGKey(0), imgsz=64)
             hlo = _optimized_hlo(
                 lambda t: m.module.apply(v, t, train=False), img)
             counts[on] = len(re.findall(r" concatenate\(", hlo))
-        finally:
-            L.set_concat_elision(True)
+    finally:
+        L.set_concat_elision(entry)
     # the flagship has ~20 C2f/SPPF/FPN concats feeding 1x1 convs; elision
     # must remove the bulk of them from the compiled program
     assert counts[True] <= counts[False] - 10, counts
