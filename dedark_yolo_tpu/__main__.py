@@ -12,7 +12,7 @@ import sys
 from .cfg import DEFAULT_CFG_DICT, check_cfg_alignment, DEFAULT_CFG_KEYS
 from .utils import LOGGER
 
-MODES = ("train", "val", "predict", "export", "benchmark", "serve")
+MODES = ("train", "val", "predict", "track", "export", "benchmark", "serve")
 TASKS = ("detect", "segment", "pose", "classify")
 SPECIAL = ("help", "version", "cfg", "checks", "settings", "copy-cfg")
 # task token -> default model yaml (reference TASK2MODEL, cfg/__init__.py)
@@ -183,6 +183,15 @@ def entrypoint(argv=None):
             return 1
         results = model.predict(source, **{"save": True, **overrides})
         LOGGER.info(f"processed {len(results)} images")
+    elif mode == "track":
+        source = overrides.pop("source", None)
+        if source is None:
+            LOGGER.info("track requires source=...")
+            return 1
+        results = model.track(source, **{"save": True, **overrides})
+        ids = {int(i) for r in results
+               for i in (r.boxes.id if r.boxes.is_track else [])}
+        LOGGER.info(f"tracked {len(results)} frames, {len(ids)} identities")
     elif mode == "export":
         model.export(**overrides)
     elif mode == "benchmark":

@@ -189,7 +189,9 @@ class YOLO:
         return self.metrics
 
     def predict(self, source, stream=False, **kwargs):
-        overrides = {**self.overrides, **kwargs, "mode": "predict"}
+        # mode stays "predict" unless a caller (track()) routed another in
+        overrides = {**self.overrides, **kwargs}
+        overrides["mode"] = kwargs.get("mode", "predict")
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
         if getattr(self, "_backend_spec", None):
             from .predictor import DetectionPredictor
@@ -225,6 +227,52 @@ class YOLO:
     def __call__(self, source, **kwargs):
         kwargs.setdefault("conf", 0.4)  # reference model.py:213 default override
         return self.predict(source, **kwargs)
+
+    def track(self, source, stream=False, persist=False, **kwargs):
+        """Multi-object tracking over a video/image-sequence source
+        (reference engine/model.py:229-250 — whose `ultralytics.trackers`
+        import target is missing from the fork; implemented here in
+        dedark_yolo_tpu/trackers/). Detection runs batched on the device via
+        the normal predictor stream; association runs on the host per frame.
+
+        persist=True reuses the tracker from the previous .track() call
+        (continuing IDs across calls on the same stream); otherwise a fresh
+        tracker is built from the `tracker` config (botsort.yaml default).
+        """
+        from ..trackers import make_tracker, track_results
+        # ByteTrack needs the low-confidence candidates as input
+        kwargs.setdefault("conf", 0.1)
+        kwargs["mode"] = "track"
+        tracker_name = kwargs.pop("tracker",
+                                  self.overrides.get("tracker") or
+                                  DEFAULT_CFG_DICT.get("tracker") or
+                                  "botsort.yaml")
+        if not (persist and getattr(self, "_tracker", None) is not None):
+            self._tracker = make_tracker(tracker_name)
+        # saving must happen AFTER ids are stamped, so it is lifted out of the
+        # predictor (which writes pre-tracking) into the tracking wrapper
+        save = bool(kwargs.pop("save", False))
+        save_txt = bool(kwargs.pop("save_txt", False))
+        # force predictor-side saving OFF (cfg defaults could re-enable it)
+        kwargs.update(save=False, save_txt=False, save_crop=False)
+        inner = track_results(self.predict(source, stream=True, **kwargs),
+                              self._tracker,
+                              persist_between_sources=persist)
+
+        def gen():
+            from pathlib import Path as _P
+            for k, res in enumerate(inner):
+                if save or save_txt:
+                    sd = _P(self.predictor.save_dir)
+                    stem = f"{_P(res.path).stem or 'frame'}_{k:05d}"
+                    if save:
+                        res.save(sd / f"{stem}.jpg")
+                    if save_txt:
+                        res.save_txt(sd / "labels" / f"{stem}.txt")
+                yield res
+
+        g = gen()
+        return g if stream else list(g)
 
     def export(self, **kwargs):
         from .exporter import Exporter

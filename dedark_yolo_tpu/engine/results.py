@@ -13,10 +13,15 @@ import numpy as np
 
 
 class Boxes:
-    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels."""
+    """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels, or
+    (n, 7) [x1, y1, x2, y2, track_id, conf, cls] after `model.track()`
+    (reference Boxes carries the same optional id column)."""
 
     def __init__(self, data: np.ndarray, orig_shape):
-        self.data = np.asarray(data, np.float32).reshape(-1, 6)
+        data = np.asarray(data, np.float32)
+        w = data.shape[-1] if data.ndim == 2 and data.size else 6
+        self.data = data.reshape(-1, w if w in (6, 7) else 6)
+        self.is_track = self.data.shape[1] == 7
         self.orig_shape = orig_shape
 
     def __len__(self):
@@ -28,11 +33,15 @@ class Boxes:
 
     @property
     def conf(self):
-        return self.data[:, 4]
+        return self.data[:, -2]
 
     @property
     def cls(self):
-        return self.data[:, 5]
+        return self.data[:, -1]
+
+    @property
+    def id(self):
+        return self.data[:, 4] if self.is_track else None
 
     @property
     def xywh(self):
@@ -104,16 +113,33 @@ class Results:
         cv2.imwrite(str(filename), img[..., ::-1])
         return filename
 
+    def update_tracks(self, tracks):
+        """Replace boxes with tracker output (m, 8) [xyxy, id, conf, cls,
+        det_idx]; masks/keypoints are re-indexed to the matched detections
+        (the reference's on_predict_postprocess_end does results[i][idx])."""
+        tracks = np.asarray(tracks, np.float32).reshape(-1, 8)
+        self.boxes = Boxes(tracks[:, :7], self.orig_shape)
+        idx = tracks[:, 7].astype(int)
+        if self.masks is not None and len(self.masks):
+            self.masks.data = self.masks.data[idx]
+        if self.keypoints is not None and len(self.keypoints):
+            self.keypoints.data = self.keypoints.data[idx]
+        return self
+
     def save_txt(self, txt_file, save_conf=False):
         lines = []
         h, w = self.orig_shape
         for d in self.boxes.data:
-            x1, y1, x2, y2, conf, c = d
+            x1, y1, x2, y2 = d[:4]
+            conf, c = d[-2], d[-1]
             cx, cy = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
             bw, bh = (x2 - x1) / w, (y2 - y1) / h
             row = f"{int(c)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}"
             if save_conf:
                 row += f" {conf:.6f}"
+            # reference save_txt appends the track id when present
+            if self.boxes.is_track:
+                row += f" {int(d[4])}"
             lines.append(row)
         Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
         Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
@@ -128,7 +154,8 @@ class Results:
         stem = Path(file_name or self.path or "im").stem
         n_saved = 0
         for i, d in enumerate(self.boxes.data):
-            x1, y1, x2, y2, _, c = d
+            x1, y1, x2, y2 = d[:4]
+            c = d[-1]
             cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
             bw, bh = (x2 - x1) * 1.02 + 10, (y2 - y1) * 1.02 + 10
             xa = max(int(cx - bw / 2), 0)
@@ -155,9 +182,12 @@ class Results:
     def tojson(self):
         out = []
         for d in self.boxes.data:
-            c = int(d[5])
-            out.append({"name": self.names.get(c, str(c)), "class": c,
-                        "confidence": float(d[4]),
-                        "box": {"x1": float(d[0]), "y1": float(d[1]),
-                                "x2": float(d[2]), "y2": float(d[3])}})
+            c = int(d[-1])
+            row = {"name": self.names.get(c, str(c)), "class": c,
+                   "confidence": float(d[-2]),
+                   "box": {"x1": float(d[0]), "y1": float(d[1]),
+                           "x2": float(d[2]), "y2": float(d[3])}}
+            if self.boxes.is_track:
+                row["track_id"] = int(d[4])
+            out.append(row)
         return json.dumps(out, indent=2)

@@ -145,21 +145,25 @@ def plot_images(batch, save_path, names=None, max_images=16):
 
 
 def annotate_image(img_rgb, dets, names=None, line_width=None):
-    """Draw (n, 6) [xyxy, conf, cls] detections on an RGB uint8 image."""
+    """Draw (n, 6) [xyxy, conf, cls] or (n, 7) [xyxy, track_id, conf, cls]
+    detections on an RGB uint8 image (ids prefix the label, reference-style)."""
     import cv2
     img = np.ascontiguousarray(img_rgb[..., ::-1].copy())  # to BGR for cv2
     lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
     palette = [(56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
                (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
                (52, 147, 26), (187, 212, 0)]
+    is_track = len(dets) and len(dets[0]) == 7
     for d in dets:
-        if d[4] <= 0:
+        if d[-2] <= 0:
             continue
         x1, y1, x2, y2 = map(int, d[:4])
-        c = int(d[5])
+        c = int(d[-1])
         color = palette[c % len(palette)]
         cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
-        label = f"{(names or {}).get(c, c)} {d[4]:.2f}"
+        label = f"{(names or {}).get(c, c)} {d[-2]:.2f}"
+        if is_track:
+            label = f"id:{int(d[4])} " + label
         tf = max(lw - 1, 1)
         w, h = cv2.getTextSize(label, 0, lw / 3, tf)[0]
         cv2.rectangle(img, (x1, y1), (x1 + w, y1 - h - 3), color, -1)

@@ -267,3 +267,86 @@ def test_ensemble_load(trained):
     l2 = jax.tree_util.tree_leaves(ens.params)
     assert len(l1) == len(l2)
     assert all(a.shape == np.asarray(b).shape for a, b in zip(l1, l2))
+
+
+@pytest.mark.slow
+def test_track_end_to_end(trained, tmp_path):
+    """model.track(): detection on-device through the predictor stream,
+    ByteTrack association on host, ids stamped into a 7th box column, and
+    save/save_txt written AFTER tracking so artifacts carry the ids
+    (reference engine/model.py:229-250 — its trackers package is missing;
+    ours runs). Identity-persistence logic itself is unit-tested with exact
+    detections in test_trackers.py; here the 2-epoch tiny model's outputs
+    are noise, so the assertions target the plumbing.
+
+    persist=True: a directory of stills is an image SEQUENCE only if the
+    caller says so (each still is otherwise its own source and the tracker
+    resets per image, like new-video resets)."""
+    import cv2
+    from synth import CLASS_COLORS
+    model, _, _ = trained
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    rng = np.random.default_rng(3)
+    for f in range(6):
+        img = rng.integers(90, 140, (96, 128, 3), dtype=np.uint8)
+        x1 = 10 + 8 * f
+        cv2.rectangle(img, (x1, 30), (x1 + 36, 70), CLASS_COLORS[0], -1)
+        cv2.imwrite(str(seq / f"frame_{f:03d}.jpg"), img)
+    # thresholds sized to the untrained-model confidence floor (~0.004),
+    # via a custom tracker yaml (exercises path-based cfg loading too)
+    tcfg = tmp_path / "lowconf_bytetrack.yaml"
+    tcfg.write_text(
+        "tracker_type: bytetrack\ntrack_high_thresh: 0.003\n"
+        "track_low_thresh: 0.0005\nnew_track_thresh: 0.003\n"
+        "track_buffer: 30\nmatch_thresh: 0.95\n")
+    results = model.track(str(seq), imgsz=96, batch=2, conf=0.001,
+                          persist=True, tracker=str(tcfg),
+                          max_nms=256, max_det=20, save=True, save_txt=True,
+                          project=str(tmp_path / "out"))
+    assert len(results) == 6
+    with_boxes = [r for r in results if len(r.boxes)]
+    assert with_boxes, "no detections at the noise-floor threshold"
+    for r in with_boxes:
+        assert r.boxes.is_track
+        assert r.boxes.id.min() >= 1
+        assert np.allclose(r.boxes.id, np.round(r.boxes.id))
+    # ids persist across frames of the sequence (persist=True suppressed the
+    # per-still reset): some id seen on an earlier frame recurs later
+    per_frame = [set(map(int, r.boxes.id)) for r in with_boxes]
+    assert any(a & b for a, b in zip(per_frame, per_frame[1:]))
+    # save landed post-tracking: txt rows end with the integer track id
+    txts = sorted((tmp_path / "out" / "predict" / "labels").glob("*.txt"))
+    assert len(txts) == 6
+    rows = [ln.split() for t in txts for ln in t.read_text().splitlines()]
+    assert rows and all(len(r) == 6 and float(r[-1]).is_integer()
+                        for r in rows)
+    assert len(list((tmp_path / "out" / "predict").glob("*.jpg"))) == 6
+
+
+@pytest.mark.slow
+def test_track_without_persist_resets_per_still(trained, tmp_path):
+    """Default persist=False: each still image in a directory is its own
+    source, so ids restart at 1 per frame and no cross-image association
+    happens (new tracker per .track() call as well)."""
+    import cv2
+    from synth import CLASS_COLORS
+    model, _, _ = trained
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    rng = np.random.default_rng(4)
+    for f in range(2):
+        img = rng.integers(90, 140, (96, 128, 3), dtype=np.uint8)
+        cv2.rectangle(img, (40, 30), (76, 70), CLASS_COLORS[1], -1)
+        cv2.imwrite(str(seq / f"frame_{f:03d}.jpg"), img)
+    tcfg = tmp_path / "t.yaml"
+    tcfg.write_text(
+        "tracker_type: bytetrack\ntrack_high_thresh: 0.003\n"
+        "track_low_thresh: 0.0005\nnew_track_thresh: 0.003\n"
+        "track_buffer: 30\nmatch_thresh: 0.95\n")
+    results = model.track(str(seq), imgsz=96, batch=2, conf=0.001,
+                          tracker=str(tcfg), max_nms=256, max_det=20)
+    with_boxes = [r for r in results if len(r.boxes)]
+    # every tracked frame's id space starts at 1 (reset between stills)
+    for r in with_boxes:
+        assert int(r.boxes.id.min()) == 1
