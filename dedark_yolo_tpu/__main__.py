@@ -139,7 +139,10 @@ def entrypoint(argv=None):
     if task is not None and "model" not in overrides:
         overrides["model"] = TASK_MODELS[task]
     serve_keys = {"port"} if mode == "serve" else set()
-    check_cfg_alignment(set(DEFAULT_CFG_KEYS) | serve_keys, overrides)
+    # persist is a .track() kwarg, not a cfg key (reference model.py:229)
+    track_keys = {"persist"} if mode == "track" else set()
+    check_cfg_alignment(set(DEFAULT_CFG_KEYS) | serve_keys | track_keys,
+                        overrides)
 
     model_spec = overrides.pop("model", None) or "yolov8l.yaml"
     if mode == "serve":

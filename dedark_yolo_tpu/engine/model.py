@@ -253,6 +253,8 @@ class YOLO:
         # predictor (which writes pre-tracking) into the tracking wrapper
         save = bool(kwargs.pop("save", False))
         save_txt = bool(kwargs.pop("save_txt", False))
+        save_crop = bool(kwargs.pop("save_crop", False))
+        save_conf = bool(kwargs.get("save_conf", False))
         # force predictor-side saving OFF (cfg defaults could re-enable it)
         kwargs.update(save=False, save_txt=False, save_crop=False)
         inner = track_results(self.predict(source, stream=True, **kwargs),
@@ -261,15 +263,40 @@ class YOLO:
 
         def gen():
             from pathlib import Path as _P
-            for k, res in enumerate(inner):
-                if save or save_txt:
-                    sd = _P(self.predictor.save_dir)
-                    stem = f"{_P(res.path).stem or 'frame'}_{k:05d}"
-                    if save:
-                        res.save(sd / f"{stem}.jpg")
-                    if save_txt:
-                        res.save_txt(sd / "labels" / f"{stem}.txt")
-                yield res
+            writers = {}
+            try:
+                for k, res in enumerate(inner):
+                    if save or save_txt or save_crop:
+                        sd = _P(self.predictor.save_dir)
+                        p = _P(res.path)
+                        meta = getattr(res, "source_meta", None)
+                        if save and meta is not None:
+                            # video frame: mux one annotated mp4 per source
+                            # (mirrors predictor _write, ids included)
+                            import cv2
+                            w = writers.get(res.path)
+                            if w is None:
+                                sd.mkdir(parents=True, exist_ok=True)
+                                h, wd = res.orig_shape
+                                w = cv2.VideoWriter(
+                                    str(sd / f"{p.stem}_track.mp4"),
+                                    cv2.VideoWriter_fourcc(*"mp4v"),
+                                    max(float(meta[1]), 1.0), (wd, h))
+                                writers[res.path] = w
+                            w.write(res.plot()[..., ::-1])
+                        elif save:
+                            res.save(sd / f"{p.stem or 'frame'}_{k:05d}.jpg")
+                        if save_txt:
+                            stem = f"{p.stem or 'frame'}_{k:05d}"
+                            res.save_txt(sd / "labels" / f"{stem}.txt",
+                                         save_conf=save_conf)
+                        if save_crop:
+                            res.save_crop(sd / "crops",
+                                          file_name=p.stem or "frame")
+                    yield res
+            finally:
+                for w in writers.values():
+                    w.release()
 
         g = gen()
         return g if stream else list(g)

@@ -250,6 +250,9 @@ class DetectionPredictor:
                     speed={"inference": t_inf},
                     enhanced_img=(enhanced[i] if enhanced is not None else None),
                     **self.extra_fields(out, i, k, orig.shape[:2], imgsz))
+                # video-frame metadata (frame_idx, fps, total) for consumers
+                # that save after this stream (track mode muxes its own mp4)
+                res.source_meta = metas[i]
                 if a.save or a.save_txt or a.save_crop or a.save_enhanced:
                     self._write(res, metas[i])
                 yield res

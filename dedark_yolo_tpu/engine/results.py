@@ -19,9 +19,13 @@ class Boxes:
 
     def __init__(self, data: np.ndarray, orig_shape):
         data = np.asarray(data, np.float32)
-        w = data.shape[-1] if data.ndim == 2 and data.size else 6
-        self.data = data.reshape(-1, w if w in (6, 7) else 6)
-        self.is_track = self.data.shape[1] == 7
+        if data.ndim == 1:
+            data = data.reshape(1, -1) if data.size else data.reshape(0, 6)
+        # width sniff must survive 0-row arrays: an empty tracked frame is
+        # still (0, 7) and keeps is_track/.id semantics
+        w = data.shape[1] if data.ndim == 2 and data.shape[1] in (6, 7) else 6
+        self.data = data.reshape(-1, w)
+        self.is_track = w == 7
         self.orig_shape = orig_shape
 
     def __len__(self):

@@ -67,8 +67,10 @@ def track_results(results_iter, tracker, persist_between_sources=False):
                 and not persist_between_sources):
             tracker.reset()
         last_path = res.path
-        dets = res.boxes.data[:, -6:] if len(res.boxes) else \
-            np.zeros((0, 6), np.float32)
+        b = res.boxes
+        # explicit column selection: re-tracking already-tracked output drops
+        # the id column rather than misreading it as a coordinate
+        dets = b.data[:, [0, 1, 2, 3, 5, 6]] if b.is_track else b.data
         tracks = tracker.update(dets, img=res.orig_img[..., ::-1])
         res.update_tracks(tracks)
         yield res

@@ -235,10 +235,7 @@ class BYTETracker:
             activated.append(remain[it])
         for i in u_remain:
             remain[i].mark_lost()
-
-        lost_now = [pool[i] for i in u_track
-                    if pool[i].state == TRACKED and pool[i] not in remain]
-        lost_now += [t for t in remain if t.state == LOST]
+        lost_now = [t for t in remain if t.state == LOST]
 
         # unconfirmed tracks get one strict shot at the leftover high dets
         left_hi = [d_hi[i] for i in u_det]

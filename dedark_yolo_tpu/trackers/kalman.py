@@ -99,7 +99,11 @@ class KalmanFilterXYAH:
 
     def gating_distance(self, mean, cov, measurements, only_position=False):
         """Squared Mahalanobis distance of measurements (M,4) to the projected
-        state; compare against _chi2inv95[4] (or [2]) to gate."""
+        state; compare against _chi2inv95[4] (or [2]) to gate.
+
+        NOT used by the built-in ByteTrack/BoT-SORT association (both gate on
+        IoU, as their published algorithms do) — this is public API for
+        custom trackers (e.g. a DeepSORT-style motion gate)."""
         pm, pc = self.project(mean, cov)
         if only_position:
             pm, pc = pm[:2], pc[:2, :2]

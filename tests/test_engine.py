@@ -350,3 +350,45 @@ def test_track_without_persist_resets_per_still(trained, tmp_path):
     # every tracked frame's id space starts at 1 (reset between stills)
     for r in with_boxes:
         assert int(r.boxes.id.min()) == 1
+
+
+@pytest.mark.slow
+def test_track_video_muxes_mp4_and_crops(trained, tmp_path):
+    """track(save=True) on a VIDEO source muxes ONE annotated mp4 (not a jpg
+    per frame); save_crop/save_conf survive the post-tracking save path."""
+    import cv2
+    from synth import CLASS_COLORS
+    model, _, _ = trained
+    vid = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (128, 96))
+    rng = np.random.default_rng(5)
+    for f in range(6):
+        img = rng.integers(90, 140, (96, 128, 3), dtype=np.uint8)
+        cv2.rectangle(img, (10 + 8 * f, 30), (46 + 8 * f, 70),
+                      CLASS_COLORS[0], -1)
+        w.write(img)
+    w.release()
+    tcfg = tmp_path / "t.yaml"
+    tcfg.write_text(
+        "tracker_type: bytetrack\ntrack_high_thresh: 0.003\n"
+        "track_low_thresh: 0.0005\nnew_track_thresh: 0.003\n"
+        "track_buffer: 30\nmatch_thresh: 0.95\n")
+    results = model.track(str(vid), imgsz=96, batch=2, conf=0.001,
+                          tracker=str(tcfg), max_nms=256, max_det=20,
+                          save=True, save_txt=True, save_conf=True,
+                          save_crop=True, project=str(tmp_path / "out"))
+    assert len(results) == 6
+    out_dir = tmp_path / "out" / "predict"
+    vids = list(out_dir.glob("*_track.mp4"))
+    assert len(vids) == 1 and not list(out_dir.glob("*.jpg"))
+    cap = cv2.VideoCapture(str(vids[0]))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
+    n_dets = sum(len(r.boxes) for r in results)
+    if n_dets:
+        # save_conf=True: id is the 7th token after the conf column
+        rows = [ln.split() for t in (out_dir / "labels").glob("*.txt")
+                for ln in t.read_text().splitlines()]
+        assert rows and all(len(r) == 7 for r in rows)
+        assert len(list((out_dir / "crops").rglob("*.jpg"))) == n_dets

@@ -283,3 +283,29 @@ def test_track_results_wrapper_resets_between_sources():
     assert all(r.boxes.is_track for r in out[1:3])
     # ids restart at 1 for the new source (tracker reset on path change)
     assert int(out[2].boxes.id[0]) == 1 and int(out[5].boxes.id[0]) == 1
+
+
+def test_boxes_empty_track_frame_keeps_semantics():
+    b = Boxes(np.zeros((0, 7), np.float32), (100, 100))
+    assert b.is_track and len(b) == 0 and b.id.shape == (0,)
+    # 1-D 7-element row is accepted as one tracked box
+    b1 = Boxes(np.asarray([1, 2, 3, 4, 5, 0.9, 0], np.float32), (100, 100))
+    assert b1.is_track and int(b1.id[0]) == 5
+    res = Results(np.zeros((32, 32, 3), np.uint8), "f", {0: "a"})
+    res.update_tracks(np.zeros((0, 8)))
+    assert res.boxes.is_track and len(res.boxes) == 0
+
+
+def test_track_results_on_already_tracked_boxes_drops_id_column():
+    tr = make_tracker("bytetrack.yaml")
+
+    def stream():
+        r = Results(np.zeros((200, 400, 3), np.uint8), "v", {0: "a"},
+                    boxes=np.asarray([det(100, 100)]))
+        r.update_tracks(np.asarray([[80, 70, 120, 130, 42, 0.9, 0, 0]]))
+        yield r
+
+    out = list(track_results(stream(), tr))[0]
+    # re-tracked: fresh id 1 from the new tracker, box coords preserved
+    assert int(out.boxes.id[0]) == 1
+    assert np.allclose(out.boxes.xyxy[0], [80, 70, 120, 130])
