@@ -71,6 +71,13 @@ def set_concat_elision(on: bool):
     ELIDE_CONCAT = bool(on)
 
 
+# Same A/B switch for the ASFF weight-branch commute (exact either way; the
+# param tree is identical). DEDARK_ASFF_COMMUTE=0 disables it at import time;
+# per-module override via the commute_weights field.
+ASFF_COMMUTE = _os.environ.get("DEDARK_ASFF_COMMUTE", "1").lower() not in (
+    "0", "false", "off")
+
+
 class ConcatConv(nn.Module):
     """1x1 stride-1 conv over a *virtual* channel-concat of its inputs.
 
@@ -899,7 +906,7 @@ class AsffTribeLevel(nn.Module):
     row). Param tree is identical either way.
     """
     level: int
-    commute_weights: bool = True
+    commute_weights: bool = ASFF_COMMUTE
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -953,7 +960,7 @@ class AsffDoubLevel(nn.Module):
     nearest upsample (see AsffTribeLevel).
     """
     level: int
-    commute_weights: bool = True
+    commute_weights: bool = ASFF_COMMUTE
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
