@@ -35,10 +35,13 @@ def main():
     from dedark_yolo_tpu.nn.heads import decode_detections
     from dedark_yolo_tpu.ops.nms import non_max_suppression
 
+    import os
     imgsz = 640
     # throughput-optimal on v5e (round-2 sweep with the streaming one-pass
-    # enhance kernel: b256 585, b384 603, b448 570 img/s)
-    batch = 384
+    # enhance kernel: b256 585, b384 603, b448 570 img/s). DEDARK_BENCH_BATCH
+    # overrides for sweeps (concat elision shrinks activation memory, so
+    # larger batches are worth re-probing).
+    batch = int(os.environ.get("DEDARK_BENCH_BATCH", 384))
     warmup, iters = 2, 6
 
     d = model_yaml_load("yolov8l.yaml")  # flagship: lowlight_recovery + ASFF, L

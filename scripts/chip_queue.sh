@@ -18,6 +18,10 @@ echo "== 2/4 bench.py A/B: elision OFF =="
 DEDARK_ELIDE_CONCAT=0 DEDARK_ASFF_COMMUTE=0 timeout 1800 python bench.py \
     2>&1 | tee /tmp/chipq_bench_off.log | tail -3
 
+echo "== 2b/4 batch re-probe at b448 (elision shrinks activation memory) =="
+DEDARK_BENCH_BATCH=448 timeout 1800 python bench.py \
+    2>&1 | tee /tmp/chipq_bench_b448.log | tail -3
+
 echo "== 3/4 ASFF per-level microbench =="
 timeout 1200 python scripts/asff_bench.py 2>&1 | tee /tmp/chipq_asff.log | tail -5
 
