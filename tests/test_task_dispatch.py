@@ -130,3 +130,23 @@ def test_yolo_val_segment(img_dir, tmp_path):
                     max_nms=128, max_det=8)
     assert "metrics/mAP50(M)" in metrics
     assert "fitness" in metrics
+
+
+@pytest.mark.slow
+def test_yolo_track_segment(img_dir, tmp_path):
+    """track() through the segment predictor: update_tracks re-indexes masks
+    to the matched detections, so masks stay aligned with the 7-col boxes."""
+    from dedark_yolo_tpu import YOLO
+    m = YOLO(_write_yaml(tmp_path, "seg.yaml", SEG_TINY))
+    tcfg = tmp_path / "t.yaml"
+    tcfg.write_text(
+        "tracker_type: bytetrack\ntrack_high_thresh: 0.00005\n"
+        "track_low_thresh: 0.00001\nnew_track_thresh: 0.00005\n"
+        "track_buffer: 30\nmatch_thresh: 0.95\n")
+    res = m.track(str(img_dir), imgsz=96, conf=0.00001, batch=2,
+                  persist=True, tracker=str(tcfg), max_nms=128, max_det=8)
+    assert len(res) == 3
+    for r in res:
+        if len(r.boxes):
+            assert r.boxes.is_track
+            assert r.masks is not None and len(r.masks) == len(r.boxes)
