@@ -283,6 +283,21 @@ class BaseTrainer:
         nb = len(train_dl)
         assert nb > 0, "empty train loader (batch too large for dataset?)"
 
+        if a.plots and jax.process_index() == 0 and \
+                getattr(self, "train_ds", None) is not None:
+            # dataset label-distribution plots at train start (reference
+            # trainer.py rank-0 plot_labels, plotting.py:241)
+            try:
+                from ..utils.plotting import plot_labels
+                lbs = [l for l in self.train_ds.labels if len(l)]
+                if lbs:
+                    cat = np.concatenate(lbs, 0)
+                    plot_labels(cat[:, 1:5], cat[:, 0],
+                                names=self.data.get("names"),
+                                save_dir=self.save_dir)
+            except Exception as e:  # plotting must never kill training
+                LOGGER.warning(f"plot_labels failed: {e}")
+
         self.build_optimizer(nb)
         labels = label_params(params)
         opt_state = init_opt_state(params)
@@ -616,6 +631,7 @@ class DetectionTrainer(BaseTrainer):
         train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz,
                                nc=self.data["nc"], cache=a.cache,
                                fraction=a.fraction, single_cls=a.single_cls)
+        self.train_ds = train_ds  # exposed for label-distribution plots
         self.train_tf = TrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(train_ds, self.train_tf, a.batch,
                           max_boxes=a.max_boxes, seed=a.seed, workers=a.workers,

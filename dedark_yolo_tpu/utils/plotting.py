@@ -198,3 +198,78 @@ def feature_visualization(caps, save_dir, max_channels=32):
         fig.suptitle(f"layer {i} {a.shape[0]}x{a.shape[1]}x{act.shape[-1]}")
         fig.savefig(save_dir / f"stage{i}_features.png", dpi=90)
         plt.close(fig)
+
+
+def plot_labels(boxes, cls, names=None, save_dir=Path(".")):
+    """Dataset label-distribution plots at train start (reference
+    plotting.py:241-291 plot_labels): labels.jpg = class instance histogram +
+    first-500 box rectangles + x/y and w/h 2D histograms;
+    labels_correlogram.jpg = pairwise xywh histogram grid. Pure matplotlib
+    (the reference leans on seaborn/pandas, which are optional deps here).
+
+    boxes: (n, 4) normalized xywh; cls: (n,) class indices.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    cls = np.asarray(cls).reshape(-1).astype(int)
+    names = names or {}
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    cols = ["x", "y", "width", "height"]
+
+    # correlogram: 4x4 pairwise grid, hist on the diagonal, hist2d off it
+    fig, axes = plt.subplots(4, 4, figsize=(9, 9), tight_layout=True)
+    for i in range(4):
+        for j in range(4):
+            ax = axes[i, j]
+            if i == j:
+                ax.hist(boxes[:, i], bins=50, color="#4c72b0")
+            elif j < i:
+                ax.hist2d(boxes[:, j], boxes[:, i], bins=50, cmap="Blues")
+            else:
+                ax.axis("off")
+                continue
+            if i == 3:
+                ax.set_xlabel(cols[j])
+            if j == 0:
+                ax.set_ylabel(cols[i])
+    fig.savefig(save_dir / "labels_correlogram.jpg", dpi=150)
+    plt.close(fig)
+
+    fig, axes = plt.subplots(2, 2, figsize=(8, 8), tight_layout=True)
+    ax = axes.ravel()
+    # [0] instances per class
+    ax[0].hist(cls, bins=np.linspace(0, nc, nc + 1) - 0.5, rwidth=0.8)
+    ax[0].set_ylabel("instances")
+    if 0 < len(names) < 30:
+        ax[0].set_xticks(range(len(names)))
+        ax[0].set_xticklabels([str(names.get(i, i)) for i in range(len(names))],
+                              rotation=90, fontsize=9)
+    else:
+        ax[0].set_xlabel("classes")
+    # [1] first 500 boxes drawn centered (shape distribution at a glance)
+    ax[1].axis("off")
+    import matplotlib.patches as mpatches
+    cmap = plt.get_cmap("tab10")
+    for c, b in zip(cls[:500], boxes[:500]):
+        w, h = b[2], b[3]
+        ax[1].add_patch(mpatches.Rectangle(
+            (0.5 - w / 2, 0.5 - h / 2), w, h, fill=False, lw=0.6,
+            edgecolor=cmap(int(c) % 10)))
+    ax[1].set_xlim(0, 1)
+    ax[1].set_ylim(0, 1)
+    # [2] center x/y density, [3] w/h density
+    if len(boxes):
+        ax[2].hist2d(boxes[:, 0], boxes[:, 1], bins=50, cmap="Blues")
+        ax[3].hist2d(boxes[:, 2], boxes[:, 3], bins=50, cmap="Blues")
+    ax[2].set_xlabel("x")
+    ax[2].set_ylabel("y")
+    ax[3].set_xlabel("width")
+    ax[3].set_ylabel("height")
+    fname = save_dir / "labels.jpg"
+    fig.savefig(fname, dpi=150)
+    plt.close(fig)
+    return fname

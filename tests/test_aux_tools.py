@@ -93,3 +93,21 @@ def test_model_benchmark(synth):
     assert len(rows) == 2  # fp32 + bf16
     for r in rows:
         assert r.get("img_per_sec", 0) > 0 or "error" in r
+
+
+def test_plot_labels(tmp_path):
+    """plot_labels (reference plotting.py:241): labels.jpg +
+    labels_correlogram.jpg from normalized xywh boxes + classes."""
+    from dedark_yolo_tpu.utils.plotting import plot_labels
+    rng = np.random.default_rng(0)
+    n = 300
+    boxes = np.stack([rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+                      rng.uniform(0.05, 0.4, n), rng.uniform(0.05, 0.4, n)], 1)
+    cls = rng.integers(0, 3, n)
+    out = plot_labels(boxes, cls, names={0: "a", 1: "b", 2: "c"},
+                      save_dir=tmp_path)
+    assert out.is_file() and out.stat().st_size > 1000
+    assert (tmp_path / "labels_correlogram.jpg").is_file()
+    # empty-label robustness
+    plot_labels(np.zeros((0, 4)), np.zeros((0,)), save_dir=tmp_path / "e")
+    assert (tmp_path / "e" / "labels.jpg").is_file()
