@@ -83,19 +83,23 @@ def main():
         dets, counts = fused(params, batch_stats, imgs[i % len(imgs)])
         np.asarray(counts)
 
-    # steady-state pipelining, depth 2: submit batch i+1 before reading back
-    # batch i, hiding the per-call dispatch latency of the remote transport.
+    # steady-state pipelining, default depth 2: submit batch i+1 before
+    # reading back batch i, hiding the per-call dispatch latency of the
+    # remote transport. DEDARK_BENCH_DEPTH raises the in-flight window (e.g.
+    # 3) to probe whether dispatch latency is still exposed at depth 2.
     # Every iteration still executes real work on a distinct buffer and every
     # output is read back, so the measurement stays honest — the wall clock
     # covers all `iters` executions end to end.
+    from collections import deque
+    depth = max(1, int(os.environ.get("DEDARK_BENCH_DEPTH", 2)))
     t0 = time.perf_counter()
-    pending = None
+    pending = deque()
     for i in range(iters):
-        out = fused(params, batch_stats, imgs[i % len(imgs)])
-        if pending is not None:
-            np.asarray(pending[1])
-        pending = out
-    np.asarray(pending[1])
+        pending.append(fused(params, batch_stats, imgs[i % len(imgs)]))
+        if len(pending) >= depth:
+            np.asarray(pending.popleft()[1])
+    while pending:
+        np.asarray(pending.popleft()[1])
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

@@ -22,6 +22,10 @@ echo "== 2b/4 batch re-probe at b448 (elision shrinks activation memory) =="
 DEDARK_BENCH_BATCH=448 timeout 1800 python bench.py \
     2>&1 | tee /tmp/chipq_bench_b448.log | tail -3
 
+echo "== 2c/4 depth-3 pipeline probe =="
+DEDARK_BENCH_DEPTH=3 timeout 1800 python bench.py \
+    2>&1 | tee /tmp/chipq_bench_d3.log | tail -3
+
 echo "== 3/4 ASFF per-level microbench =="
 timeout 1200 python scripts/asff_bench.py 2>&1 | tee /tmp/chipq_asff.log | tail -5
 
