@@ -26,7 +26,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BASELINE_IMG_PER_SEC = 100.0
 
 
+def _check_platform_alive(timeout=180):
+    """Fail fast if the accelerator platform is unreachable: jax.devices()
+    on a dead remote tunnel hangs FOREVER (not an error), which would hang
+    the whole bench run. Probe in a bounded subprocess instead."""
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout)
+        if probe.returncode == 0 and "ok" in probe.stdout:
+            return
+        detail = (probe.stderr or "").strip().splitlines()[-1:] or ["?"]
+        raise SystemExit(f"bench: accelerator platform failed to "
+                         f"initialize: {detail[0]}")
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: accelerator platform unreachable (device enumeration "
+            f"hung > {timeout}s — remote tunnel down?); no measurement taken")
+
+
 def main():
+    _check_platform_alive()
     import jax
     import jax.numpy as jnp
     import numpy as np
