@@ -5,6 +5,9 @@ GPU/mobile formats. The TPU deployment surface is:
   - .npz    framework checkpoints (weights + yaml; rebuilt and jitted here);
   - .bin    jax.export serialized artifacts (a compiled, weight-embedded
             StableHLO program — the TPU analogue of a TensorRT engine);
+  - .tflite mobile flatbuffers (exported via jax2tf; run by the TFLite
+            interpreter on CPU, like the reference's tflite row);
+  - saved_model/ directories (TF runtime serving_default signature);
   - .yaml   architecture-only (random weights; for smoke tests).
 
 `forward(img_u8)` always returns (boxes_xywh (B,N,4), scores (B,N,nc)) like the
@@ -45,6 +48,40 @@ class AutoBackend:
                 self.batch = int(meta.get("batch", batch))
                 self.names = {int(k): v
                               for k, v in meta.get("names", {}).items()}
+        elif self.format == "tflite":
+            import tensorflow as tf
+            self._read_sidecar(Path(str(model_spec) + ".json"))
+            interp = tf.lite.Interpreter(model_path=str(model_spec))
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            outs = interp.get_output_details()
+
+            def fn(img_u8):
+                interp.set_tensor(inp["index"],
+                                  np.asarray(img_u8, np.uint8))
+                interp.invoke()
+                res = [interp.get_tensor(o["index"]) for o in outs]
+                # output order is converter-defined: boxes have last dim 4;
+                # scores is the OTHER tensor (robust to nc == 4)
+                boxes = next(r for r in res if r.shape[-1] == 4)
+                scores = next(r for r in res if r is not boxes)
+                return jnp.asarray(boxes), jnp.asarray(scores)
+
+            self._fn = fn
+        elif self.format == "saved_model":
+            import tensorflow as tf
+            self._read_sidecar(Path(model_spec) / "dedark_meta.json")
+            loaded = tf.saved_model.load(str(model_spec))
+            sig = loaded.signatures["serving_default"]
+
+            def fn(img_u8, _sig=sig, _keep=loaded):
+                res = _sig(tf.constant(np.asarray(img_u8, np.uint8)))
+                vals = [v.numpy() for v in res.values()]
+                boxes = next(v for v in vals if v.shape[-1] == 4)
+                scores = next(v for v in vals if v is not boxes)
+                return jnp.asarray(boxes), jnp.asarray(scores)
+
+            self._fn = fn
         else:
             from .model import YOLO
             y = YOLO(str(model_spec))
@@ -66,6 +103,14 @@ class AutoBackend:
 
             self._fn = fn
 
+    def _read_sidecar(self, path):
+        if Path(path).is_file():
+            import json
+            meta = json.loads(Path(path).read_text())
+            self.imgsz = int(meta.get("imgsz", self.imgsz))
+            self.batch = int(meta.get("batch", self.batch))
+            self.names = {int(k): v for k, v in meta.get("names", {}).items()}
+
     @staticmethod
     def _model_type(spec):
         s = str(spec)
@@ -73,6 +118,10 @@ class AutoBackend:
             return "exported"
         if s.endswith(".npz"):
             return "checkpoint"
+        if s.endswith(".tflite"):
+            return "tflite"
+        if (Path(s) / "saved_model.pb").is_file():
+            return "saved_model"
         if s.endswith((".yaml", ".yml")):
             return "yaml"
         raise ValueError(f"unrecognized model format: {spec}")

@@ -1,10 +1,13 @@
 """Exporter: serialize the compiled inference graph + weights.
 
 The reference exports to 11 GPU/mobile formats via per-format toolchains
-(ultralytics/engine/exporter.py:74-938). For a TPU-native stack the deployment
-artifacts are different: StableHLO (the portable XLA IR any XLA runtime can load),
-a weights npz, and the checkpoint container itself. ONNX/TensorRT/CoreML are GPU
-deployment paths out of scope for TPU serving.
+(ultralytics/engine/exporter.py:74-938). The TPU-native deployment artifacts:
+StableHLO (the portable XLA IR any XLA runtime can load), a weight-embedded
+jax.export .bin (the TPU analogue of a TensorRT engine), and a weights npz.
+The reference's TensorFlow-family formats are ALSO supported via jax2tf
+native lowering: saved_model, tflite (mobile), and frozen-graph pb —
+round-tripped through AutoBackend for parity. ONNX/TensorRT/CoreML remain
+out of scope (toolchains absent and GPU/Apple deployment paths).
 """
 
 from __future__ import annotations
@@ -59,6 +62,50 @@ class Exporter:
             LOGGER.info(f"exported jax.export artifact to {path} "
                         f"({path.stat().st_size / 1e6:.1f} MB, + .json sidecar)")
             return str(path)
+        if fmt in ("saved_model", "savedmodel", "tflite", "pb"):
+            # TF-family formats (reference exporter.py saved_model/tflite/pb
+            # rows) via jax2tf NATIVE lowering: the StableHLO program rides an
+            # XlaCallModule op that both TF runtime and the TFLite converter
+            # understand. Same uint8-in/(boxes, scores)-out contract as .bin.
+            import tensorflow as tf
+            from jax.experimental import jax2tf
+
+            def infer_u8(img_u8):
+                b, s = infer(img_u8.astype(jnp.float32) / 255.0)
+                return b.astype(jnp.float32), s.astype(jnp.float32)
+
+            tfun = tf.function(
+                jax2tf.convert(infer_u8), autograph=False,
+                input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3),
+                                               tf.uint8)])
+            cf = tfun.get_concrete_function()
+            import json
+            names = getattr(model, "names", {}) or {}
+            meta = {"imgsz": imgsz, "batch": batch, "nc": model.nc,
+                    "names": {int(k): v for k, v in names.items()}}
+            if fmt in ("saved_model", "savedmodel"):
+                path = out_dir / "model_saved_model"
+                module = tf.Module()
+                module.f = tfun
+                tf.saved_model.save(module, str(path),
+                                    signatures={"serving_default": cf})
+                (path / "dedark_meta.json").write_text(json.dumps(meta))
+            elif fmt == "tflite":
+                conv = tf.lite.TFLiteConverter.from_concrete_functions([cf])
+                blob = conv.convert()
+                path = out_dir / "model.tflite"
+                path.write_bytes(blob)
+                (out_dir / "model.tflite.json").write_text(json.dumps(meta))
+            else:  # pb: frozen inference graph
+                from tensorflow.python.framework.convert_to_constants import (
+                    convert_variables_to_constants_v2)
+                frozen = convert_variables_to_constants_v2(cf)
+                path = out_dir / "model.pb"
+                tf.io.write_graph(frozen.graph, str(out_dir), "model.pb",
+                                  as_text=False)
+                (out_dir / "model.pb.json").write_text(json.dumps(meta))
+            LOGGER.info(f"exported {fmt} to {path}")
+            return str(path)
         if fmt == "stablehlo":
             lowered = jax.jit(infer).lower(example)
             path = out_dir / "model.stablehlo.mlir"
@@ -71,5 +118,6 @@ class Exporter:
                             model_yaml=model.yaml)
             LOGGER.info(f"exported weights to {path}")
             return str(path)
-        raise ValueError(f"unsupported export format '{fmt}' "
-                         f"(supported: stablehlo, npz)")
+        raise ValueError(
+            f"unsupported export format '{fmt}' (supported: bin, stablehlo, "
+            f"npz, saved_model, tflite, pb)")

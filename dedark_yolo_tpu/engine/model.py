@@ -39,17 +39,18 @@ class YOLO:
             self._new(model)
         elif model.endswith(".npz"):
             self._load(model)
-        elif model.endswith(".bin"):
-            # exported jax.export artifact: a compiled, weight-embedded
-            # program. val/predict route through AutoBackend like the
+        elif model.endswith((".bin", ".tflite")) or \
+                (Path(model) / "saved_model.pb").is_file():
+            # exported artifact (.bin jax.export / .tflite / saved_model
+            # dir): val/predict route through AutoBackend like the
             # reference's standalone modes (validator.py:116-123,
             # predictor.py setup_model); train/export need live params.
             self._backend_spec = model
             self.model = None
         else:
             raise ValueError(
-                f"unsupported model spec '{model}' "
-                "(expect .yaml, .npz checkpoint, or exported .bin)")
+                f"unsupported model spec '{model}' (expect .yaml, .npz "
+                "checkpoint, or exported .bin/.tflite/saved_model)")
 
     def _new(self, cfg_path):
         d = model_yaml_load(cfg_path)

@@ -1,0 +1,68 @@
+"""TF-family export formats (reference exporter.py saved_model/tflite/pb
+rows) via jax2tf native lowering, round-tripped through AutoBackend.
+
+These compile XLA graphs and run the TF converter — slow tier.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TINY = str(Path(__file__).parent / "tiny_model.yaml")
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def live(tmp_path_factory):
+    pytest.importorskip("tensorflow")
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.engine.autobackend import AutoBackend
+    m = YOLO(TINY)
+    m._ensure_params(96)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8)
+    bk = AutoBackend(TINY, imgsz=96, batch=2)
+    lb, ls = (np.asarray(x) for x in bk.forward(img))
+    return m, img, lb, ls
+
+
+def test_export_tflite_roundtrip(live, tmp_path):
+    from dedark_yolo_tpu.engine.autobackend import AutoBackend
+    m, img, lb, ls = live
+    p = m.export(format="tflite", imgsz=96, batch=2, project=str(tmp_path))
+    assert p.endswith(".tflite") and Path(p + ".json").is_file()
+    bk = AutoBackend(p)
+    assert bk.imgsz == 96 and bk.batch == 2  # sidecar self-configuration
+    bb, bs = (np.asarray(x) for x in bk.forward(img))
+    assert bb.shape == lb.shape and bs.shape == ls.shape
+    # XNNPACK reassociates float math: near-parity, not bit-parity
+    assert np.abs(bb - lb).max() < 1e-2
+    assert np.abs(bs - ls).max() < 1e-4
+
+
+def test_export_saved_model_roundtrip_and_facade(live, tmp_path):
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.engine.autobackend import AutoBackend
+    m, img, lb, ls = live
+    p = m.export(format="saved_model", imgsz=96, batch=2,
+                 project=str(tmp_path))
+    assert (Path(p) / "saved_model.pb").is_file()
+    bk = AutoBackend(p)
+    bb, bs = (np.asarray(x) for x in bk.forward(img))
+    np.testing.assert_allclose(bb, lb, atol=1e-4)
+    np.testing.assert_allclose(bs, ls, atol=1e-5)
+    # facade routes the directory spec through AutoBackend (like .bin)
+    y = YOLO(p)
+    assert getattr(y, "_backend_spec", None) == p
+
+
+def test_export_pb_frozen_graph(live, tmp_path):
+    import tensorflow as tf
+    m, img, lb, ls = live
+    p = m.export(format="pb", imgsz=96, batch=2, project=str(tmp_path))
+    assert Path(p).is_file() and Path(p).stat().st_size > 10000
+    gd = tf.compat.v1.GraphDef()
+    gd.ParseFromString(Path(p).read_bytes())
+    assert len(gd.node) > 0  # parseable frozen inference graph
