@@ -33,21 +33,15 @@ class AutoBackend:
         self.half = half
         self.format = self._model_type(model_spec)
         self.names = {}
+        self.task = "detect"
+        self._outputs = None  # ordered [{name, shape}] from the sidecar
         LOGGER.info(f"AutoBackend: loading {model_spec} as '{self.format}'")
         if self.format == "exported":
             data = Path(model_spec).read_bytes()
             self._exported = jax.export.deserialize(bytearray(data))
+            # jax.export preserves the exported tuple order exactly
             self._fn = lambda img: self._exported.call(img)
-            # deployment sidecar (written by the exporter): fixed shapes +
-            # class names travel with the artifact
-            sidecar = Path(str(model_spec) + ".json")
-            if sidecar.is_file():
-                import json
-                meta = json.loads(sidecar.read_text())
-                self.imgsz = int(meta.get("imgsz", imgsz))
-                self.batch = int(meta.get("batch", batch))
-                self.names = {int(k): v
-                              for k, v in meta.get("names", {}).items()}
+            self._read_sidecar(Path(str(model_spec) + ".json"))
         elif self.format == "tflite":
             import tensorflow as tf
             self._read_sidecar(Path(str(model_spec) + ".json"))
@@ -61,11 +55,7 @@ class AutoBackend:
                                   np.asarray(img_u8, np.uint8))
                 interp.invoke()
                 res = [interp.get_tensor(o["index"]) for o in outs]
-                # output order is converter-defined: boxes have last dim 4;
-                # scores is the OTHER tensor (robust to nc == 4)
-                boxes = next(r for r in res if r.shape[-1] == 4)
-                scores = next(r for r in res if r is not boxes)
-                return jnp.asarray(boxes), jnp.asarray(scores)
+                return self._demux(res)
 
             self._fn = fn
         elif self.format == "saved_model":
@@ -76,10 +66,7 @@ class AutoBackend:
 
             def fn(img_u8, _sig=sig, _keep=loaded):
                 res = _sig(tf.constant(np.asarray(img_u8, np.uint8)))
-                vals = [v.numpy() for v in res.values()]
-                boxes = next(v for v in vals if v.shape[-1] == 4)
-                scores = next(v for v in vals if v is not boxes)
-                return jnp.asarray(boxes), jnp.asarray(scores)
+                return self._demux([v.numpy() for v in res.values()])
 
             self._fn = fn
         else:
@@ -109,7 +96,32 @@ class AutoBackend:
             meta = json.loads(Path(path).read_text())
             self.imgsz = int(meta.get("imgsz", self.imgsz))
             self.batch = int(meta.get("batch", self.batch))
+            self.task = meta.get("task", self.task)
+            self._outputs = meta.get("outputs")
             self.names = {int(k): v for k, v in meta.get("names", {}).items()}
+
+    def _demux(self, res):
+        """Reorder runtime output tensors into the exported order.
+
+        tflite (and in principle saved_model signature dicts) do not
+        guarantee output order; the sidecar's ordered output shapes do. Match
+        each spec to a distinct runtime tensor by exact shape; identically
+        shaped outputs (e.g. nc == nm) resolve in remaining-order. Without a
+        sidecar, fall back to the detect heuristic (boxes = last dim 4)."""
+        if self._outputs and len(self._outputs) == len(res):
+            remaining = list(res)
+            ordered = []
+            for spec in self._outputs:
+                shape = tuple(spec["shape"])
+                i = next((i for i, r in enumerate(remaining)
+                          if tuple(r.shape) == shape), 0)
+                ordered.append(remaining.pop(i))
+            return tuple(jnp.asarray(o) for o in ordered)
+        if len(res) == 2:
+            boxes = next(r for r in res if r.shape[-1] == 4)
+            scores = next(r for r in res if r is not boxes)
+            return jnp.asarray(boxes), jnp.asarray(scores)
+        return tuple(jnp.asarray(r) for r in res)
 
     @staticmethod
     def _model_type(spec):
@@ -127,7 +139,9 @@ class AutoBackend:
         raise ValueError(f"unrecognized model format: {spec}")
 
     def forward(self, img_u8):
-        """img_u8: (B, H, W, 3) uint8 RGB -> (boxes_xywh, scores)."""
+        """img_u8: (B, H, W, 3) uint8 RGB -> the task's exported tuple:
+        detect (boxes_xywh, scores); segment (boxes, scores, coefs, protos);
+        pose (boxes, scores, kpts); classify (probs,)."""
         return self._fn(jnp.asarray(img_u8))
 
     __call__ = forward

@@ -211,9 +211,14 @@ class ClassificationPredictor:
         imgsz = a.imgsz if isinstance(a.imgsz, int) else 224
         if self._fwd is None:
             model = self.model
-            self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
-                {"params": p, "batch_stats": bs},
-                img.astype(jnp.float32) / 255.0))
+            from .autobackend import AutoBackend
+            if isinstance(model, AutoBackend):
+                # exported classify artifact: uint8 in -> (probs,)
+                self._fwd = lambda p, bs, img: model.forward(img)[0]
+            else:
+                self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
+                    {"params": p, "batch_stats": bs},
+                    img.astype(jnp.float32) / 255.0))
         batch = max(int(a.batch), 1)
         buf = []
 

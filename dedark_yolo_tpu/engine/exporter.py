@@ -33,32 +33,79 @@ class Exporter:
         out_dir.mkdir(parents=True, exist_ok=True)
         batch = max(1, int(a.batch))
 
+        task = getattr(model, "task", "detect")
+
         def infer(img):
+            """Task-aware export program (the reference exports every task,
+            exporter.py:74-938). Output tuples, fixed order per task:
+              detect/rtdetr -> (boxes_xywh, scores)
+              segment       -> (boxes, scores, mask_coefs, protos)
+              pose          -> (boxes, scores, keypoints)
+              classify      -> (probs,)
+            """
             variables = {"params": params, "batch_stats": batch_stats}
             raw = model.module.apply(variables, img, train=False)
             from ..nn.heads import decode_detections
-            return decode_detections(raw, model.nc, model.strides, model.reg_max)
+            if task == "classify":
+                return (jax.nn.softmax(raw, axis=-1),)
+            if model.head["name"] == "RTDETRDecoder":
+                h, w = img.shape[1], img.shape[2]
+                scale = jnp.asarray([w, h, w, h], raw.dtype)
+                return raw[..., :4] * scale, raw[..., 4:]
+            if task == "segment":
+                det, coefs, protos = raw
+                boxes, scores = decode_detections(det, model.nc,
+                                                  model.strides, model.reg_max)
+                nm = protos.shape[-1]
+                coef_flat = jnp.concatenate(
+                    [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+                return boxes, scores, coef_flat, protos
+            if task == "pose":
+                from .pose import model_kpt_shape
+                from ..nn.heads import decode_keypoints
+                det, kpt_maps = raw
+                boxes, scores = decode_detections(det, model.nc,
+                                                  model.strides, model.reg_max)
+                kpts = decode_keypoints(kpt_maps, model.strides,
+                                        model_kpt_shape(model))
+                return boxes, scores, kpts
+            return decode_detections(raw, model.nc, model.strides,
+                                     model.reg_max)
 
         example = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        OUTPUT_NAMES = {"detect": ["boxes", "scores"],
+                        "segment": ["boxes", "scores", "coefs", "protos"],
+                        "pose": ["boxes", "scores", "kpts"],
+                        "classify": ["probs"]}
+
+        def infer_u8(img_u8):
+            outs = infer(img_u8.astype(jnp.float32) / 255.0)
+            return tuple(o.astype(jnp.float32) for o in outs)
+
+        def sidecar_meta():
+            # deployment sidecar: the artifact's fixed shapes, task, class
+            # names, and ORDERED output specs (name + shape) so AutoBackend /
+            # InferenceServer can self-configure and demux runtime tensors
+            # whose order the toolchain does not guarantee (tflite)
+            shapes = jax.eval_shape(
+                infer_u8, jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
+            names = getattr(model, "names", {}) or {}
+            return {"imgsz": imgsz, "batch": batch, "nc": model.nc,
+                    "task": task,
+                    "names": {int(k): v for k, v in names.items()},
+                    "outputs": [{"name": n, "shape": list(s.shape)}
+                                for n, s in zip(OUTPUT_NAMES[task], shapes)]}
+
         if fmt in ("export", "bin", "serialized"):
             # weight-embedded compiled artifact, loadable by AutoBackend('.bin')
             # — the TPU analogue of a TensorRT engine export
-            def infer_u8(img_u8):
-                b, s = infer(img_u8.astype(jnp.float32) / 255.0)
-                return b.astype(jnp.float32), s.astype(jnp.float32)
-
             exp = jax.export.export(jax.jit(infer_u8))(
                 jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
             path = out_dir / "model.bin"
             path.write_bytes(exp.serialize())
-            # deployment sidecar: the artifact's fixed shapes + class names, so
-            # AutoBackend / InferenceServer can self-configure from the file
             import json
-            names = getattr(model, "names", {}) or {}
-            (out_dir / "model.bin.json").write_text(json.dumps({
-                "imgsz": imgsz, "batch": batch, "nc": model.nc,
-                "names": {int(k): v for k, v in names.items()},
-            }, indent=2))
+            (out_dir / "model.bin.json").write_text(
+                json.dumps(sidecar_meta(), indent=2))
             LOGGER.info(f"exported jax.export artifact to {path} "
                         f"({path.stat().st_size / 1e6:.1f} MB, + .json sidecar)")
             return str(path)
@@ -70,19 +117,13 @@ class Exporter:
             import tensorflow as tf
             from jax.experimental import jax2tf
 
-            def infer_u8(img_u8):
-                b, s = infer(img_u8.astype(jnp.float32) / 255.0)
-                return b.astype(jnp.float32), s.astype(jnp.float32)
-
             tfun = tf.function(
                 jax2tf.convert(infer_u8), autograph=False,
                 input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3),
                                                tf.uint8)])
             cf = tfun.get_concrete_function()
             import json
-            names = getattr(model, "names", {}) or {}
-            meta = {"imgsz": imgsz, "batch": batch, "nc": model.nc,
-                    "names": {int(k): v for k, v in names.items()}}
+            meta = sidecar_meta()
             if fmt in ("saved_model", "savedmodel"):
                 path = out_dir / "model_saved_model"
                 module = tf.Module()

@@ -195,10 +195,20 @@ class YOLO:
         overrides["mode"] = kwargs.get("mode", "predict")
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
         if getattr(self, "_backend_spec", None):
-            from .predictor import DetectionPredictor
             backend = self._make_backend(args)
-            predictor = DetectionPredictor(args=args, model=backend,
-                                           names=backend.names)
+            # exported artifacts carry their task in the sidecar; dispatch to
+            # the task predictor like the live-model path below
+            btask = getattr(backend, "task", "detect")
+            if btask == "segment":
+                from .segment import SegmentationPredictor as BPred
+            elif btask == "pose":
+                from .pose import PosePredictor as BPred
+            elif btask == "classify":
+                from .classify import ClassificationPredictor as BPred
+            else:
+                from .predictor import DetectionPredictor as BPred
+            predictor = BPred(args=args, model=backend,
+                              names=backend.names)
             self.predictor = predictor
             return predictor(source, stream=stream)
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)

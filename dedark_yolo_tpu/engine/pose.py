@@ -299,10 +299,34 @@ class PosePredictor(DetectionPredictor):
     def _make_step(self):
         a = self.args
         model = self.model
-        kpt_shape = model_kpt_shape(model)
         conf, iou = float(a.conf), float(a.iou)
         max_det, max_nms = int(a.max_det), int(a.max_nms)
         dtype = jnp.bfloat16 if a.half else jnp.float32
+
+        def finish(boxes, scores, kpts):
+            """NMS + exact keypoint gather; shared by the live-model path and
+            AutoBackend artifacts (which export exactly these tensors)."""
+            dets, counts, aidx = non_max_suppression(
+                boxes.astype(jnp.float32), scores.astype(jnp.float32),
+                conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_nms=max_nms, multi_label=False,
+                agnostic=bool(a.agnostic_nms), return_idx=True)
+            sel = jnp.take_along_axis(
+                kpts.astype(jnp.float32),
+                jnp.clip(aidx, 0)[..., None, None], axis=1)  # (B,max_det,nk,3)
+            return {"dets": dets, "counts": counts, "kpts": sel}
+
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            finish_j = jax.jit(finish)
+
+            def backend_step(members, img_u8):
+                b, s, k = model.forward(img_u8)
+                return finish_j(b, s, k)
+
+            return backend_step
+
+        kpt_shape = model_kpt_shape(model)
 
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
@@ -311,16 +335,8 @@ class PosePredictor(DetectionPredictor):
                 {"params": params, "batch_stats": batch_stats}, img, train=False)
             boxes, scores = decode_detections(det, model.nc, model.strides,
                                               model.reg_max)
-            dets, counts, aidx = non_max_suppression(
-                boxes.astype(jnp.float32), scores.astype(jnp.float32),
-                conf_thres=conf, iou_thres=iou, max_det=max_det,
-                max_nms=max_nms, multi_label=False,
-                agnostic=bool(a.agnostic_nms), return_idx=True)
             kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
-            sel = jnp.take_along_axis(
-                kpts.astype(jnp.float32),
-                jnp.clip(aidx, 0)[..., None, None], axis=1)  # (B,max_det,nk,3)
-            return {"dets": dets, "counts": counts, "kpts": sel}
+            return finish(boxes, scores, kpts)
 
         return jax.jit(step)
 

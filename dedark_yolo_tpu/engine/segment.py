@@ -334,21 +334,15 @@ class SegmentationPredictor(DetectionPredictor):
         max_det, max_nms = int(a.max_det), int(a.max_nms)
         dtype = jnp.bfloat16 if a.half else jnp.float32
 
-        def step(members, img_u8):
-            img = img_u8.astype(dtype) / 255.0
-            params, batch_stats = members[0]   # seg predict: single member
-            det, coefs, protos = model.module.apply(
-                {"params": params, "batch_stats": batch_stats}, img, train=False)
-            boxes, scores = decode_detections(det, model.nc, model.strides,
-                                              model.reg_max)
+        def finish(boxes, scores, coef_flat, protos, img_h):
+            """NMS + mask assembly from decoded candidates; shared by the
+            live-model path and AutoBackend artifacts (which export exactly
+            these four tensors)."""
             dets, counts, aidx = non_max_suppression(
                 boxes.astype(jnp.float32), scores.astype(jnp.float32),
                 conf_thres=conf, iou_thres=iou, max_det=max_det,
                 max_nms=max_nms, multi_label=False,
                 agnostic=bool(a.agnostic_nms), return_idx=True)
-            nm = protos.shape[-1]
-            coef_flat = jnp.concatenate(
-                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
             sel = jnp.take_along_axis(
                 coef_flat, jnp.clip(aidx, 0)[..., None], axis=1)  # (B,max_det,nm)
             # mask logits in proto space, cropped to each detection's box
@@ -357,7 +351,7 @@ class SegmentationPredictor(DetectionPredictor):
                                 sel.astype(jnp.float32),
                                 protos.astype(jnp.float32))
             mh, mw = protos.shape[1], protos.shape[2]
-            scale = mh / img.shape[1]
+            scale = mh / img_h
             bx = dets[..., :4] * scale                             # (B,max_det,4)
             ys = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
             xs = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
@@ -367,6 +361,29 @@ class SegmentationPredictor(DetectionPredictor):
                      (ys < bx[..., 3, None, None]))
             masks = (jax.nn.sigmoid(logits) > 0.5) & inbox
             return {"dets": dets, "counts": counts, "masks": masks}
+
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            # exported segment artifact: (boxes, scores, coefs, protos)
+            finish_j = jax.jit(finish, static_argnums=(4,))
+
+            def backend_step(members, img_u8):
+                b, s, cf, pr = model.forward(img_u8)
+                return finish_j(b, s, cf, pr, int(img_u8.shape[1]))
+
+            return backend_step
+
+        def step(members, img_u8):
+            img = img_u8.astype(dtype) / 255.0
+            params, batch_stats = members[0]   # seg predict: single member
+            det, coefs, protos = model.module.apply(
+                {"params": params, "batch_stats": batch_stats}, img, train=False)
+            boxes, scores = decode_detections(det, model.nc, model.strides,
+                                              model.reg_max)
+            nm = protos.shape[-1]
+            coef_flat = jnp.concatenate(
+                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+            return finish(boxes, scores, coef_flat, protos, img.shape[1])
 
         return jax.jit(step)
 

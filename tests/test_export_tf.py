@@ -66,3 +66,74 @@ def test_export_pb_frozen_graph(live, tmp_path):
     gd = tf.compat.v1.GraphDef()
     gd.ParseFromString(Path(p).read_bytes())
     assert len(gd.node) > 0  # parseable frozen inference graph
+
+
+def _mk_imgs(tmp_path, n=2):
+    import cv2
+    d = tmp_path / "imgs"
+    d.mkdir(exist_ok=True)
+    rng = np.random.default_rng(3)
+    for k in range(n):
+        img = rng.integers(60, 200, (100, 140, 3), dtype=np.uint8)
+        cv2.circle(img, (60, 50), 20, (220, 60, 60), -1)
+        cv2.imwrite(str(d / f"im{k}.jpg"), img)
+    return d
+
+
+@pytest.mark.parametrize("fmt", ["bin", "tflite"])
+def test_export_segment_task_roundtrip(fmt, tmp_path):
+    """Task-aware export (reference exports every task): a segment artifact
+    carries (boxes, scores, coefs, protos) + task sidecar; the facade routes
+    it to SegmentationPredictor and masks match the live model."""
+    import yaml
+    from test_task_dispatch import SEG_TINY
+    from dedark_yolo_tpu import YOLO
+    if fmt == "tflite":
+        pytest.importorskip("tensorflow")
+    (tmp_path / "seg.yaml").write_text(yaml.safe_dump(SEG_TINY))
+    m = YOLO(str(tmp_path / "seg.yaml"))
+    m._ensure_params(96)
+    d = _mk_imgs(tmp_path)
+    kw = dict(imgsz=96, conf=0.0001, batch=2, max_nms=128, max_det=8)
+    live = m.predict(str(d), **kw)
+    p = m.export(format=fmt, imgsz=96, batch=2, project=str(tmp_path / fmt))
+    res = YOLO(p).predict(str(d), **kw)
+    for lr, br in zip(live, res):
+        assert len(br.boxes) == len(lr.boxes)
+        if len(lr.boxes):
+            assert np.abs(br.boxes.data - lr.boxes.data).max() < 1e-4
+            assert (br.masks.data == lr.masks.data).mean() > 0.999
+
+
+def test_export_pose_task_roundtrip(tmp_path):
+    import yaml
+    from test_task_dispatch import POSE_TINY
+    from dedark_yolo_tpu import YOLO
+    (tmp_path / "pose.yaml").write_text(yaml.safe_dump(POSE_TINY))
+    m = YOLO(str(tmp_path / "pose.yaml"))
+    m._ensure_params(96)
+    d = _mk_imgs(tmp_path)
+    kw = dict(imgsz=96, conf=0.0001, batch=2, max_nms=128, max_det=8)
+    live = m.predict(str(d), **kw)
+    p = m.export(format="bin", imgsz=96, batch=2, project=str(tmp_path / "b"))
+    res = YOLO(p).predict(str(d), **kw)
+    for lr, br in zip(live, res):
+        assert len(br.boxes) == len(lr.boxes)
+        if len(lr.boxes):
+            assert np.abs(br.keypoints.data - lr.keypoints.data).max() < 1e-4
+
+
+def test_export_classify_task_roundtrip(tmp_path):
+    import yaml
+    from test_task_dispatch import CLS_TINY
+    from dedark_yolo_tpu import YOLO
+    (tmp_path / "cls.yaml").write_text(yaml.safe_dump(CLS_TINY))
+    m = YOLO(str(tmp_path / "cls.yaml"))
+    m._ensure_params(64)
+    d = _mk_imgs(tmp_path)
+    live = m.predict(str(d), imgsz=64, batch=2)
+    p = m.export(format="bin", imgsz=64, batch=2, project=str(tmp_path / "b"))
+    res = YOLO(p).predict(str(d), imgsz=64, batch=2)
+    for lr, br in zip(live, res):
+        np.testing.assert_allclose(np.asarray(br.probs.data),
+                                   np.asarray(lr.probs.data), atol=1e-5)
