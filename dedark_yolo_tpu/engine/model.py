@@ -163,9 +163,23 @@ class YOLO:
         overrides = {**self.overrides, **kwargs, "mode": "val"}
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
         if getattr(self, "_backend_spec", None):
-            from .validator import DetectionValidator
             backend = self._make_backend(args)
-            self.metrics = DetectionValidator(args=args)(model=backend)
+            # task-validator dispatch for exported artifacts too (the
+            # reference vals every AutoBackend format through TASK_MAP)
+            btask = getattr(backend, "task", "detect")
+            if btask == "segment":
+                from .segment import SegmentationValidator
+                validator = SegmentationValidator(args=args)
+            elif btask == "pose":
+                from .pose import PoseValidator
+                spec = next((o for o in backend._outputs or []
+                             if o["name"] == "kpts"), None)
+                kshape = tuple(spec["shape"][2:]) if spec else (17, 3)
+                validator = PoseValidator(args=args, kpt_shape=kshape)
+            else:
+                from .validator import DetectionValidator
+                validator = DetectionValidator(args=args)
+            self.metrics = validator(model=backend)
             return self.metrics
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
         self._sync_model_opts(args)

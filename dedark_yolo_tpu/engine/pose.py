@@ -145,19 +145,31 @@ class PoseValidator:
             params = replicate(mesh, params)
             batch_stats = replicate(mesh, batch_stats)
 
-        @jax.jit
-        def val_step(params, batch_stats, img):
-            x = img.astype(jnp.float32) / 255.0
-            det, kpt_maps = model.module.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False)
-            boxes, scores = decode_detections(det, model.nc, model.strides,
-                                              model.reg_max)
-            dets, counts, aidx = non_max_suppression(
+        def _nms(boxes, scores):
+            return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=float(a.iou),
                 max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True,
                 return_idx=True)
-            kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
-            return dets, counts, aidx, kpts
+
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            # exported pose artifact (boxes, scores, decoded kpts)
+            post = jax.jit(lambda b, s, k: _nms(b, s) + (k,))
+
+            def val_step(params, batch_stats, img):
+                return post(*model.forward(img))
+        else:
+            @jax.jit
+            def val_step(params, batch_stats, img):
+                x = img.astype(jnp.float32) / 255.0
+                det, kpt_maps = model.module.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False)
+                boxes, scores = decode_detections(det, model.nc, model.strides,
+                                                  model.reg_max)
+                dets, counts, aidx = _nms(boxes, scores)
+                kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
+                return dets, counts, aidx, kpts
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         kpt_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}

@@ -121,21 +121,34 @@ class SegmentationValidator:
             params = replicate(mesh, params)
             batch_stats = replicate(mesh, batch_stats)
 
-        @jax.jit
-        def val_step(params, batch_stats, img):
-            x = img.astype(jnp.float32) / 255.0
-            det, coefs, protos = model.module.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False)
-            boxes, scores = decode_detections(det, model.nc, model.strides,
-                                              model.reg_max)
-            dets, counts, aidx = non_max_suppression(
+        def _nms(boxes, scores):
+            return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=float(a.iou),
                 max_det=int(a.max_det), max_nms=int(a.max_nms), multi_label=True,
                 return_idx=True)
-            nm = protos.shape[-1]
-            coef_flat = jnp.concatenate(
-                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
-            return dets, counts, aidx, coef_flat, protos
+
+        from .autobackend import AutoBackend
+        if isinstance(model, AutoBackend):
+            # exported segment artifact (boxes, scores, coefs, protos) —
+            # same post as the live path (reference vals any AutoBackend fmt)
+            post = jax.jit(lambda b, s, cf, pr: _nms(b, s) + (cf, pr))
+
+            def val_step(params, batch_stats, img):
+                return post(*model.forward(img))
+        else:
+            @jax.jit
+            def val_step(params, batch_stats, img):
+                x = img.astype(jnp.float32) / 255.0
+                det, coefs, protos = model.module.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False)
+                boxes, scores = decode_detections(det, model.nc, model.strides,
+                                                  model.reg_max)
+                dets, counts, aidx = _nms(boxes, scores)
+                nm = protos.shape[-1]
+                coef_flat = jnp.concatenate(
+                    [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+                return dets, counts, aidx, coef_flat, protos
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         mask_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}

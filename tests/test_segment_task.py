@@ -91,3 +91,26 @@ def test_segment_training_and_val(seg_dataset, tmp_path):
     assert (tmp_path / "runs" / "train" / "weights" / "last.npz").is_file()
     assert "metrics/mAP50(B)" in metrics
     assert "metrics/mAP50(M)" in metrics  # mask mAP computed
+
+
+@pytest.mark.slow
+def test_segment_val_exported_artifact(seg_dataset, tmp_path):
+    """YOLO('model.bin').val() routes a segment artifact to
+    SegmentationValidator via the task sidecar (the reference vals every
+    AutoBackend format through TASK_MAP) and reproduces the live model's
+    metrics exactly (same weights, same post)."""
+    from dedark_yolo_tpu import YOLO
+    yaml_path = tmp_path / "seg_tiny.yaml"
+    yaml_path.write_text(yaml.safe_dump(SEG_TINY))
+    m = YOLO(str(yaml_path))
+    m._ensure_params(96)
+    kw = dict(data=seg_dataset, imgsz=96, batch=4, conf=0.001, max_nms=128,
+              max_det=8, max_boxes=8, plots=False)
+    live = m.val(**kw)
+    p = m.export(format="bin", imgsz=96, batch=4, project=str(tmp_path / "b"))
+    bm = YOLO(p)
+    got = bm.val(**kw)
+    assert "metrics/mAP50(M)" in got
+    for k in live:
+        if k.startswith("metrics/"):
+            assert abs(live[k] - got[k]) < 1e-9, k
