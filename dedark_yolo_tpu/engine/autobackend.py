@@ -10,9 +10,11 @@ GPU/mobile formats. The TPU deployment surface is:
   - saved_model/ directories (TF runtime serving_default signature);
   - .yaml   architecture-only (random weights; for smoke tests).
 
-`forward(img_u8)` always returns (boxes_xywh (B,N,4), scores (B,N,nc)) like the
-eval decode, regardless of format. `warmup()` compiles/executes once at the
-configured shape (reference autobackend.py:451).
+`forward(img_u8)` returns the task's exported tuple — detect (boxes_xywh,
+scores), segment (boxes, scores, coefs, protos), pose (boxes, scores, kpts),
+classify (probs,) — in EXPORT order regardless of format (`_demux` restores
+it from the sidecar's output specs where runtimes reorder). `warmup()`
+compiles/executes once at the configured shape (reference autobackend.py:451).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ class AutoBackend:
         self.format = self._model_type(model_spec)
         self.names = {}
         self.task = "detect"
+        self.nc = None
         self._outputs = None  # ordered [{name, shape}] from the sidecar
         LOGGER.info(f"AutoBackend: loading {model_spec} as '{self.format}'")
         if self.format == "exported":
@@ -97,7 +100,16 @@ class AutoBackend:
             self.imgsz = int(meta.get("imgsz", self.imgsz))
             self.batch = int(meta.get("batch", self.batch))
             self.task = meta.get("task", self.task)
+            self.nc = meta.get("nc", self.nc)
             self._outputs = meta.get("outputs")
+            # identically-shaped outputs can only resolve in converter order —
+            # surface that once at load, not as silent per-call ambiguity
+            shapes = [tuple(o["shape"]) for o in self._outputs or []]
+            if len(set(shapes)) < len(shapes):
+                LOGGER.warning(
+                    f"{Path(path).name}: output shapes {shapes} are not all "
+                    "distinct; runtimes that reorder outputs (tflite) will be "
+                    "demuxed in emission order for the ambiguous pair")
             self.names = {int(k): v for k, v in meta.get("names", {}).items()}
 
     def _demux(self, res):
@@ -114,7 +126,14 @@ class AutoBackend:
             for spec in self._outputs:
                 shape = tuple(spec["shape"])
                 i = next((i for i, r in enumerate(remaining)
-                          if tuple(r.shape) == shape), 0)
+                          if tuple(r.shape) == shape), None)
+                if i is None:
+                    LOGGER.warning(
+                        f"AutoBackend: no runtime output matches sidecar "
+                        f"shape {shape} for '{spec['name']}' (got "
+                        f"{[r.shape for r in remaining]}); taking the next "
+                        "tensor in emission order")
+                    i = 0
                 ordered.append(remaining.pop(i))
             return tuple(jnp.asarray(o) for o in ordered)
         if len(res) == 2:

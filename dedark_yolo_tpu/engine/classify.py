@@ -158,11 +158,16 @@ class ClassificationValidator:
         ds = ClassificationDataset(data[split], imgsz, data["names"])
         batch = max(int(a.batch), 1)
         if not hasattr(self, "_fwd"):
-            self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
-                {"params": p, "batch_stats": bs},
-                img.astype(jnp.float32) / 255.0))
+            from .autobackend import AutoBackend
+            if isinstance(model, AutoBackend):
+                # exported classify artifact: uint8 in -> (probs,)
+                self._fwd = lambda p, bs, img: model.forward(img)[0]
+            else:
+                self._fwd = jax.jit(lambda p, bs, img: model.apply_eval(
+                    {"params": p, "batch_stats": bs},
+                    img.astype(jnp.float32) / 255.0))
         correct1 = correct5 = total = 0
-        k5 = min(5, model.nc)
+        k5 = min(5, getattr(model, "nc", None) or len(data["names"]))
         for bi in range(-(-len(ds) // batch)):
             idxs = range(bi * batch, min((bi + 1) * batch, len(ds)))
             pairs = [ds.load(i) for i in idxs]

@@ -44,16 +44,10 @@ class Exporter:
               classify      -> (probs,)
             """
             variables = {"params": params, "batch_stats": batch_stats}
-            raw = model.module.apply(variables, img, train=False)
             from ..nn.heads import decode_detections
-            if task == "classify":
-                return (jax.nn.softmax(raw, axis=-1),)
-            if model.head["name"] == "RTDETRDecoder":
-                h, w = img.shape[1], img.shape[2]
-                scale = jnp.asarray([w, h, w, h], raw.dtype)
-                return raw[..., :4] * scale, raw[..., 4:]
             if task == "segment":
-                det, coefs, protos = raw
+                det, coefs, protos = model.module.apply(variables, img,
+                                                        train=False)
                 boxes, scores = decode_detections(det, model.nc,
                                                   model.strides, model.reg_max)
                 nm = protos.shape[-1]
@@ -63,14 +57,17 @@ class Exporter:
             if task == "pose":
                 from .pose import model_kpt_shape
                 from ..nn.heads import decode_keypoints
-                det, kpt_maps = raw
+                det, kpt_maps = model.module.apply(variables, img,
+                                                   train=False)
                 boxes, scores = decode_detections(det, model.nc,
                                                   model.strides, model.reg_max)
                 kpts = decode_keypoints(kpt_maps, model.strides,
                                         model_kpt_shape(model))
                 return boxes, scores, kpts
-            return decode_detections(raw, model.nc, model.strides,
-                                     model.reg_max)
+            # classify / rtdetr / detect: the live decode path itself, so the
+            # exported program can never drift from model.apply_eval
+            out = model.apply_eval(variables, img)
+            return out if isinstance(out, tuple) else (out,)
 
         example = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
         OUTPUT_NAMES = {"detect": ["boxes", "scores"],
@@ -82,13 +79,16 @@ class Exporter:
             outs = infer(img_u8.astype(jnp.float32) / 255.0)
             return tuple(o.astype(jnp.float32) for o in outs)
 
-        def sidecar_meta():
+        def sidecar_meta(shapes=None):
             # deployment sidecar: the artifact's fixed shapes, task, class
             # names, and ORDERED output specs (name + shape) so AutoBackend /
             # InferenceServer can self-configure and demux runtime tensors
-            # whose order the toolchain does not guarantee (tflite)
-            shapes = jax.eval_shape(
-                infer_u8, jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
+            # whose order the toolchain does not guarantee (tflite).
+            # `shapes`: pass the already-traced output avals (jax.export /
+            # concrete function) to avoid a redundant abstract re-trace.
+            if shapes is None:
+                shapes = jax.eval_shape(
+                    infer_u8, jnp.zeros((batch, imgsz, imgsz, 3), jnp.uint8))
             names = getattr(model, "names", {}) or {}
             return {"imgsz": imgsz, "batch": batch, "nc": model.nc,
                     "task": task,
@@ -105,7 +105,7 @@ class Exporter:
             path.write_bytes(exp.serialize())
             import json
             (out_dir / "model.bin.json").write_text(
-                json.dumps(sidecar_meta(), indent=2))
+                json.dumps(sidecar_meta(exp.out_avals), indent=2))
             LOGGER.info(f"exported jax.export artifact to {path} "
                         f"({path.stat().st_size / 1e6:.1f} MB, + .json sidecar)")
             return str(path)
@@ -123,7 +123,7 @@ class Exporter:
                                                tf.uint8)])
             cf = tfun.get_concrete_function()
             import json
-            meta = sidecar_meta()
+            meta = sidecar_meta([o for o in cf.outputs])
             if fmt in ("saved_model", "savedmodel"):
                 path = out_dir / "model_saved_model"
                 module = tf.Module()

@@ -176,6 +176,9 @@ class YOLO:
                              if o["name"] == "kpts"), None)
                 kshape = tuple(spec["shape"][2:]) if spec else (17, 3)
                 validator = PoseValidator(args=args, kpt_shape=kshape)
+            elif btask == "classify":
+                from .classify import ClassificationValidator
+                validator = ClassificationValidator(args=args)
             else:
                 from .validator import DetectionValidator
                 validator = DetectionValidator(args=args)

@@ -103,25 +103,31 @@ class InferenceServer:
         if str(model_spec).endswith(".bin"):
             # exported jax.export artifact (weight-embedded compiled program,
             # fixed shapes): the artifact's own batch/imgsz win — its .json
-            # sidecar carries them, plus the class names
+            # sidecar carries them, plus the class names AND the task, so
+            # segment/pose artifacts serve with masks/keypoints too
             from .autobackend import AutoBackend
-            from ..ops.nms import non_max_suppression
             backend = AutoBackend(model_spec, imgsz=self.imgsz,
                                   batch=self.max_batch)
             self.imgsz, self.max_batch = backend.imgsz, backend.batch
             self.names = dict(backend.names)
-
-            @jax.jit
-            def nms_step(boxes, scores):
-                dets, counts = non_max_suppression(
-                    boxes, scores, conf_thres=float(conf),
-                    iou_thres=float(iou), max_det=int(max_det),
-                    max_nms=int(max_nms), multi_label=False)
-                return {"dets": dets, "counts": counts}
-
+            btask = getattr(backend, "task", "detect")
+            if btask == "segment":
+                from .segment import SegmentationPredictor as Pred
+            elif btask == "pose":
+                from .pose import PosePredictor as Pred
+            elif btask == "classify":
+                raise ValueError(
+                    "InferenceServer serves detection-family tasks "
+                    "(detect/segment/pose); use YOLO.predict for classify")
+            else:
+                from .predictor import DetectionPredictor as Pred
+            args = get_cfg(DEFAULT_CFG_DICT, dict(
+                conf=conf, iou=iou, max_det=max_det, max_nms=max_nms,
+                half=half, batch=self.max_batch, imgsz=self.imgsz))
+            pred = Pred(args=args, model=backend, names=backend.names)
+            self._pred = pred
             self._members = ()
-            self._step = lambda members, batch: nms_step(
-                *backend.forward(batch))
+            self._step = pred._make_step()
         else:
             from .model import YOLO
 

@@ -137,3 +137,43 @@ def test_export_classify_task_roundtrip(tmp_path):
     for lr, br in zip(live, res):
         np.testing.assert_allclose(np.asarray(br.probs.data),
                                    np.asarray(lr.probs.data), atol=1e-5)
+
+
+def test_export_classify_val_and_segment_serving(tmp_path):
+    """Classify .bin artifacts val through ClassificationValidator (metrics
+    identical to live); segment .bin artifacts serve through InferenceServer
+    with masks in responses (the round-2 server only accepted detect .bin)."""
+    import cv2
+    import yaml
+    from test_task_dispatch import CLS_TINY, SEG_TINY
+    from dedark_yolo_tpu import YOLO
+    for split in ("train", "val"):
+        for c in ("a", "b"):
+            d = tmp_path / "cls" / split / c
+            d.mkdir(parents=True)
+            rng = np.random.default_rng(abs(hash((split, c))) % 2**31)
+            for k in range(3):
+                cv2.imwrite(str(d / f"{k}.jpg"),
+                            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    (tmp_path / "cls.yaml").write_text(yaml.safe_dump(CLS_TINY))
+    m = YOLO(str(tmp_path / "cls.yaml"))
+    m._ensure_params(64)
+    kw = dict(data=str(tmp_path / "cls"), imgsz=64, batch=2)
+    live = m.val(**kw)
+    p = m.export(format="bin", imgsz=64, batch=2, project=str(tmp_path / "b"))
+    got = YOLO(p).val(**kw)
+    assert abs(live["metrics/accuracy_top1"] - got["metrics/accuracy_top1"]) \
+        < 1e-9
+
+    from dedark_yolo_tpu.engine.server import InferenceServer
+    (tmp_path / "seg.yaml").write_text(yaml.safe_dump(SEG_TINY))
+    ms = YOLO(str(tmp_path / "seg.yaml"))
+    ms._ensure_params(96)
+    ps = ms.export(format="bin", imgsz=96, batch=2,
+                   project=str(tmp_path / "sb"))
+    srv = InferenceServer(ps, imgsz=96, max_batch=2, conf=0.0001,
+                          max_det=8, max_nms=128)
+    img = np.zeros((100, 140, 3), np.uint8)
+    cv2.circle(img, (60, 50), 20, (60, 60, 220), -1)
+    out = srv.predict(img)
+    assert "masks" in out and np.asarray(out["masks"]).shape[-2:] == (100, 140)
