@@ -25,6 +25,34 @@ class Exporter:
     def __init__(self, args):
         self.args = args
 
+    @staticmethod
+    def _representative_dataset(a, batch, imgsz, n=16):
+        """Yield letterboxed uint8 val batches for tflite int8 calibration
+        (reference exporter tflite int8 path uses the val loader)."""
+        def gen():
+            from ..data import check_det_dataset
+            from ..data.augment import letterbox
+            import cv2
+            import numpy as np
+            data = check_det_dataset(a.data)
+            files = sorted(Path(data.get("val") or data["train"]).rglob("*"))
+            imgs = []
+            for f in files:
+                img = cv2.imread(str(f))
+                if img is None:
+                    continue
+                lb, _, _ = letterbox(img, imgsz)
+                imgs.append(np.ascontiguousarray(lb[..., ::-1]))
+                if len(imgs) >= n * batch:
+                    break
+            for i in range(0, max(len(imgs) - batch + 1, 1), batch):
+                chunk = imgs[i:i + batch]
+                while chunk and len(chunk) < batch:
+                    chunk.append(chunk[0])
+                if chunk:
+                    yield [np.stack(chunk).astype(np.uint8)]
+        return gen
+
     def __call__(self, model, params, batch_stats):
         a = self.args
         fmt = (a.format or "stablehlo").lower()
@@ -34,6 +62,12 @@ class Exporter:
         batch = max(1, int(a.batch))
 
         task = getattr(model, "task", "detect")
+        if getattr(a, "half", False):
+            # bf16 deployment weights (reference half=True export): halves
+            # the artifact and runs the MXU-native dtype; outputs stay f32
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
 
         def infer(img):
             """Task-aware export program (the reference exports every task,
@@ -75,8 +109,10 @@ class Exporter:
                         "pose": ["boxes", "scores", "kpts"],
                         "classify": ["probs"]}
 
+        comp_dtype = jnp.bfloat16 if getattr(a, "half", False) else jnp.float32
+
         def infer_u8(img_u8):
-            outs = infer(img_u8.astype(jnp.float32) / 255.0)
+            outs = infer(img_u8.astype(comp_dtype) / 255.0)
             return tuple(o.astype(jnp.float32) for o in outs)
 
         def sidecar_meta(shapes=None):
@@ -133,6 +169,15 @@ class Exporter:
                 (path / "dedark_meta.json").write_text(json.dumps(meta))
             elif fmt == "tflite":
                 conv = tf.lite.TFLiteConverter.from_concrete_functions([cf])
+                if getattr(a, "int8", False):
+                    # reference int8 flag ('CoreML/TF INT8 quantization'):
+                    # dynamic-range weight quantization by default; with a
+                    # dataset, calibrate activations too (representative set
+                    # of letterboxed val images)
+                    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                    if getattr(a, "data", None):
+                        conv.representative_dataset = \
+                            self._representative_dataset(a, batch, imgsz)
                 blob = conv.convert()
                 path = out_dir / "model.tflite"
                 path.write_bytes(blob)

@@ -177,3 +177,28 @@ def test_export_classify_val_and_segment_serving(tmp_path):
     cv2.circle(img, (60, 50), 20, (60, 60, 220), -1)
     out = srv.predict(img)
     assert "masks" in out and np.asarray(out["masks"]).shape[-2:] == (100, 140)
+
+
+def test_export_half_and_int8(live, tmp_path):
+    """half=True exports bf16 deployment weights (~half artifact size);
+    int8=True quantizes the tflite flatbuffer (reference exporter int8 flag,
+    dynamic-range without data, activation-calibrated with data)."""
+    from dedark_yolo_tpu.engine.autobackend import AutoBackend
+    m, img, lb, ls = live
+    p32 = m.export(format="bin", imgsz=96, batch=2,
+                   project=str(tmp_path / "f32"))
+    p16 = m.export(format="bin", imgsz=96, batch=2, half=True,
+                   project=str(tmp_path / "bf16"))
+    s32 = Path(p32).stat().st_size
+    s16 = Path(p16).stat().st_size
+    assert s16 < 0.6 * s32
+    _, hs = (np.asarray(x) for x in AutoBackend(p16).forward(img))
+    assert np.abs(hs - ls).max() < 5e-3  # bf16 rounding only
+
+    pf = m.export(format="tflite", imgsz=96, batch=2,
+                  project=str(tmp_path / "f"))
+    pq = m.export(format="tflite", imgsz=96, batch=2, int8=True,
+                  project=str(tmp_path / "q"))
+    assert Path(pq).stat().st_size < 0.5 * Path(pf).stat().st_size
+    _, qs = (np.asarray(x) for x in AutoBackend(pq).forward(img))
+    assert np.abs(qs - ls).max() < 2e-2  # weight-quantization error bound
