@@ -100,11 +100,14 @@ class InferenceServer:
         model_spec, conf, iou, max_det, max_nms, half, warmup = \
             self._setup_args
         mesh = self._mesh
-        if str(model_spec).endswith(".bin"):
-            # exported jax.export artifact (weight-embedded compiled program,
-            # fixed shapes): the artifact's own batch/imgsz win — its .json
-            # sidecar carries them, plus the class names AND the task, so
-            # segment/pose artifacts serve with masks/keypoints too
+        spec_s = str(model_spec)
+        from pathlib import Path as _P
+        if spec_s.endswith((".bin", ".tflite")) or \
+                (_P(spec_s) / "saved_model.pb").is_file():
+            # exported artifact (.bin jax.export / .tflite / saved_model):
+            # the artifact's own batch/imgsz win — its sidecar carries them,
+            # plus the class names AND the task, so segment/pose artifacts
+            # serve with masks/keypoints too
             from .autobackend import AutoBackend
             backend = AutoBackend(model_spec, imgsz=self.imgsz,
                                   batch=self.max_batch)
