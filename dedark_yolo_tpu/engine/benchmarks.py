@@ -85,3 +85,61 @@ def benchmark(yolo, imgsz=640, data=None, batch_sizes=(1, 8, 32), warmup=2,
         metrics = yolo.val(data=data, imgsz=imgsz, **kwargs)
         rows.append({"mAP50-95": metrics.get("metrics/mAP50-95(B)")})
     return rows
+
+
+def benchmark_formats(yolo, imgsz=640, data=None, batch=8, warmup=1, iters=3,
+                      formats=("live", "bin", "tflite", "saved_model"),
+                      export_dir=None, **kwargs):
+    """Export the model to each deployment format and measure each one —
+    size, throughput, and (with `data`) mAP — like the reference
+    `benchmark()` (utils/benchmarks.py:47-149), which exports every format
+    and vals each through AutoBackend. 'live' is the un-exported model.
+
+    Returns a list of row dicts; formats whose toolchain is unavailable
+    report an error string instead of failing the whole table.
+    """
+    import tempfile
+    from pathlib import Path
+    from .autobackend import AutoBackend
+
+    export_dir = Path(export_dir or tempfile.mkdtemp(prefix="dedark_bench_"))
+    yolo._ensure_params(imgsz)
+    rng = np.random.default_rng(0)
+    imgs = [np.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3),
+                                    dtype=np.uint8))
+            for _ in range(min(iters, 4))]
+    rows = []
+    for fmt in formats:
+        try:
+            if fmt == "live":
+                spec = yolo.ckpt_path or yolo.overrides.get("model")
+                backend, size_mb = AutoBackend(spec, imgsz=imgsz,
+                                               batch=batch), None
+            else:
+                path = yolo.export(format=fmt, imgsz=imgsz, batch=batch,
+                                   project=str(export_dir / fmt))
+                p = Path(path)
+                size = (sum(f.stat().st_size for f in p.rglob("*") if
+                            f.is_file()) if p.is_dir() else p.stat().st_size)
+                size_mb = round(size / 1e6, 2)
+                backend = AutoBackend(path)
+            for i in range(warmup):
+                np.asarray(backend.forward(imgs[i % len(imgs)])[0])
+            t0 = time.perf_counter()
+            for i in range(iters):
+                np.asarray(backend.forward(imgs[i % len(imgs)])[0])
+            dt = time.perf_counter() - t0
+            ips = batch * iters / dt
+            row = {"format": fmt, "size_mb": size_mb,
+                   "img_per_sec": round(ips, 2)}
+            if data is not None:
+                from .model import YOLO
+                m = yolo if fmt == "live" else YOLO(path)
+                metrics = m.val(data=data, imgsz=imgsz, batch=batch, **kwargs)
+                row["mAP50-95"] = metrics.get("metrics/mAP50-95(B)")
+            rows.append(row)
+            LOGGER.info(f"benchmark_formats {fmt}: {row}")
+        except Exception as e:
+            rows.append({"format": fmt, "error": str(e)[:120]})
+            LOGGER.warning(f"benchmark_formats {fmt} failed: {e}")
+    return rows

@@ -337,8 +337,14 @@ class YOLO:
         return Exporter(args)(self.model, self.params, self.batch_stats)
 
     def benchmark(self, **kwargs):
-        from .benchmarks import benchmark
         overrides = {**self.overrides, **kwargs}
+        overrides.pop("model", None)
+        if overrides.pop("formats", None):
+            # reference benchmark(): export every deployment format and
+            # measure each (size, throughput, mAP) through AutoBackend
+            from .benchmarks import benchmark_formats
+            return benchmark_formats(self, **overrides)
+        from .benchmarks import benchmark
         return benchmark(self, **overrides)
 
     @property

@@ -202,3 +202,19 @@ def test_export_half_and_int8(live, tmp_path):
     assert Path(pq).stat().st_size < 0.5 * Path(pf).stat().st_size
     _, qs = (np.asarray(x) for x in AutoBackend(pq).forward(img))
     assert np.abs(qs - ls).max() < 2e-2  # weight-quantization error bound
+
+
+def test_benchmark_formats_table(live, tmp_path):
+    """YOLO.benchmark(formats=True): export each deployment format and
+    measure size/throughput through AutoBackend (reference benchmark(),
+    utils/benchmarks.py:47-149 exports every format and vals each)."""
+    m, img, lb, ls = live
+    rows = m.benchmark(formats=True, imgsz=96, batch=2,
+                       export_dir=str(tmp_path))
+    by_fmt = {r["format"]: r for r in rows}
+    assert set(by_fmt) == {"live", "bin", "tflite", "saved_model"}
+    for fmt, r in by_fmt.items():
+        assert "error" not in r, r
+        assert r["img_per_sec"] > 0
+        if fmt != "live":
+            assert r["size_mb"] > 0
