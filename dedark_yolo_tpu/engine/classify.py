@@ -19,7 +19,7 @@ from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT
 from ..data.dataset import IMG_FORMATS
 from ..data.loader import DataLoader
 from ..nn.graph import DetectionModel
-from ..utils import LOGGER
+from ..utils import LOGGER, increment_dir
 from .trainer import BaseTrainer
 
 
@@ -147,7 +147,9 @@ class ClassificationValidator:
 
     def __init__(self, args=None, save_dir=None, data=None):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
-        self.save_dir = Path(save_dir or "runs/classify/val")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/classify/val"),
+                                       getattr(self.args, "exist_ok", False)))
         self.data = data
 
     def __call__(self, model=None, params=None, batch_stats=None, mesh=None):
@@ -201,7 +203,9 @@ class ClassificationPredictor:
         self.params = params
         self.batch_stats = batch_stats
         self.names = names or (model.names if model else {})
-        self.save_dir = Path(save_dir or "runs/classify/predict")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/classify/predict"),
+                                       getattr(self.args, "exist_ok", False)))
         self._fwd = None
 
     def __call__(self, source, stream=False):

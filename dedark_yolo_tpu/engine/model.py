@@ -233,7 +233,10 @@ class YOLO:
         names = getattr(self.model, "names", {})
         save_dir = None
         if args.project:
-            save_dir = str(Path(args.project) / (args.name or "predict"))
+            from ..utils import increment_dir
+            save_dir = str(increment_dir(
+                Path(args.project) / (args.name or "predict"),
+                getattr(args, "exist_ok", False)))
         task = getattr(self.model, "task", "detect")
         # TASK_MAP dispatch (reference engine/model.py:17-26 routes every task
         # to its own predictor)

@@ -23,7 +23,7 @@ from ..nn.graph import DetectionModel
 from ..nn.heads import decode_detections, decode_keypoints
 from ..ops.boxes import scale_boxes, scale_coords
 from ..ops.nms import non_max_suppression
-from ..utils import LOGGER, DetMetrics, match_predictions
+from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
 from .predictor import DetectionPredictor
 from .trainer import BaseTrainer
 
@@ -117,7 +117,9 @@ class PoseTrainer(BaseTrainer):
 class PoseValidator:
     def __init__(self, args=None, save_dir=None, data=None, kpt_shape=(17, 3)):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
-        self.save_dir = Path(save_dir or "runs/pose/val")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/pose/val"),
+                                       getattr(self.args, "exist_ok", False)))
         self.data = data
         self.kpt_shape = tuple(kpt_shape)
 

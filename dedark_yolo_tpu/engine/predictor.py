@@ -26,6 +26,7 @@ from ..cfg import get_cfg, DEFAULT_CFG_DICT
 from ..data.augment import letterbox
 from ..data.dataset import IMG_FORMATS
 from ..ops.boxes import scale_boxes
+from ..utils import increment_dir
 from ..ops.nms import non_max_suppression
 from .results import Results
 
@@ -88,7 +89,9 @@ class DetectionPredictor:
         # Ensemble.forward, tasks.py:534-546 torch.cat(outputs, 1))
         self.members = members or [(params, batch_stats)]
         self.names = names or (model.names if model else {})
-        self.save_dir = Path(save_dir or "runs/detect/predict")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/detect/predict"),
+                                       getattr(self.args, "exist_ok", False)))
         self._step = None
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 

@@ -25,7 +25,7 @@ from ..nn.graph import DetectionModel
 from ..nn.heads import decode_detections
 from ..ops.boxes import scale_boxes
 from ..ops.nms import non_max_suppression
-from ..utils import LOGGER, DetMetrics, match_predictions
+from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
 from .predictor import DetectionPredictor
 from .trainer import BaseTrainer
 
@@ -100,7 +100,9 @@ class SegmentationValidator:
 
     def __init__(self, args=None, save_dir=None, data=None):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
-        self.save_dir = Path(save_dir or "runs/segment/val")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/segment/val"),
+                                       getattr(self.args, "exist_ok", False)))
         self.data = data
 
     def __call__(self, model=None, params=None, batch_stats=None, mesh=None):

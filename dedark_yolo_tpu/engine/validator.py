@@ -33,7 +33,7 @@ from ..data import YOLODataset, DataLoader, ValTransforms, check_det_dataset
 from ..losses import detection_loss
 from ..ops.boxes import scale_boxes, xywh2xyxy
 from ..ops.nms import non_max_suppression
-from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions
+from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions, increment_dir
 
 
 class DetectionValidator:
@@ -41,7 +41,9 @@ class DetectionValidator:
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
         if self.args.conf is None:
             self.args.conf = 0.001  # val default (reference cfg: 0.001 for val)
-        self.save_dir = Path(save_dir or "runs/detect/val")
+        self.save_dir = (Path(save_dir) if save_dir else
+                         increment_dir(Path("runs/detect/val"),
+                                       getattr(self.args, "exist_ok", False)))
         self.data = data
         self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0,
                       "postprocess": 0.0}

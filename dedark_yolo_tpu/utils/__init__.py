@@ -37,6 +37,21 @@ def _enable_persistent_compile_cache():
 
 _enable_persistent_compile_cache()
 
+
+def increment_dir(path, exist_ok=False):
+    """runs/detect/predict -> runs/detect/predict2, 3, ... when the dir
+    already exists (reference utils/files.py increment_path, used by every
+    get_save_dir) so successive runs never mix artifacts."""
+    from pathlib import Path
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        for i in range(2, 9999):
+            cand = path.with_name(f"{path.name}{i}")
+            if not cand.exists():
+                return cand
+    return path
+
+
 from .metrics import (ap_per_class, compute_ap, match_predictions, ConfusionMatrix,
                       Metric, DetMetrics, smooth)
 from .ema import ema_init, ema_update, ema_decay

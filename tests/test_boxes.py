@@ -55,3 +55,16 @@ def test_scale_boxes_letterbox_inverse():
     boxes = jnp.asarray([[100.0, 180.0, 200.0, 280.0]])
     out = np.asarray(scale_boxes((640, 640), boxes, (480, 640)))
     np.testing.assert_allclose(out, [[100.0, 100.0, 200.0, 200.0]], atol=1.0)
+
+
+def test_increment_dir(tmp_path):
+    """increment_dir (reference increment_path): predict -> predict2 -> ...
+    when the dir exists; exist_ok reuses; non-existent passes through."""
+    from dedark_yolo_tpu.utils import increment_dir
+    p = tmp_path / "predict"
+    assert increment_dir(p) == p
+    p.mkdir()
+    assert increment_dir(p).name == "predict2"
+    assert increment_dir(p, exist_ok=True) == p
+    (tmp_path / "predict2").mkdir()
+    assert increment_dir(p).name == "predict3"
