@@ -350,6 +350,16 @@ class YOLO:
         from .benchmarks import benchmark
         return benchmark(self, **overrides)
 
+    def fuse(self):
+        """API-compatible no-op (reference BaseModel.fuse folds conv+BN for
+        eager inference, tasks.py:153-178). Under XLA the eval-mode BN is an
+        affine epilogue fused into the convolution at compile time, so there
+        is nothing to fold ahead of time."""
+        from ..utils import LOGGER
+        LOGGER.info("fuse(): conv+BN folding happens inside XLA compilation; "
+                    "no ahead-of-time fusion needed")
+        return self
+
     @property
     def names(self):
         return getattr(self.model, "names", {})
