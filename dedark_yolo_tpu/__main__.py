@@ -141,8 +141,10 @@ def entrypoint(argv=None):
     serve_keys = {"port"} if mode == "serve" else set()
     # persist is a .track() kwarg, not a cfg key (reference model.py:229)
     track_keys = {"persist"} if mode == "track" else set()
-    check_cfg_alignment(set(DEFAULT_CFG_KEYS) | serve_keys | track_keys,
-                        overrides)
+    bench_keys = ({"formats", "export_dir", "batch_sizes", "iters"}
+                  if mode == "benchmark" else set())
+    check_cfg_alignment(set(DEFAULT_CFG_KEYS) | serve_keys | track_keys
+                        | bench_keys, overrides)
 
     model_spec = overrides.pop("model", None) or "yolov8l.yaml"
     if mode == "serve":

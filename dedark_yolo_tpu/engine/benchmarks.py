@@ -102,6 +102,10 @@ def benchmark_formats(yolo, imgsz=640, data=None, batch=8, warmup=1, iters=3,
     from pathlib import Path
     from .autobackend import AutoBackend
 
+    if getattr(yolo, "_backend_spec", None):
+        raise ValueError(
+            "benchmark(formats=True) needs a live model (yaml/npz spec) to "
+            "export from; this YOLO wraps an already-exported artifact")
     export_dir = Path(export_dir or tempfile.mkdtemp(prefix="dedark_bench_"))
     yolo._ensure_params(imgsz)
     rng = np.random.default_rng(0)

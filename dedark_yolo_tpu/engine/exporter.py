@@ -31,11 +31,14 @@ class Exporter:
         (reference exporter tflite int8 path uses the val loader)."""
         def gen():
             from ..data import check_det_dataset
+            from ..data.dataset import _scan_images
             from ..data.augment import letterbox
             import cv2
             import numpy as np
             data = check_det_dataset(a.data)
-            files = sorted(Path(data.get("val") or data["train"]).rglob("*"))
+            # _scan_images handles both dir and .txt-list val specs and
+            # filters to image suffixes (same scan the datasets use)
+            files = _scan_images(data.get("val") or data.get("train"))
             imgs = []
             for f in files:
                 img = cv2.imread(str(f))

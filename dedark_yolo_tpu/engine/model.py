@@ -335,6 +335,11 @@ class YOLO:
     def export(self, **kwargs):
         from .exporter import Exporter
         overrides = {**self.overrides, **kwargs, "mode": "export"}
+        if "data" not in kwargs:
+            # train_args carry the training dataset yaml into overrides; on a
+            # deployment machine it usually doesn't exist — int8 calibration
+            # must only run on an EXPLICITLY passed dataset
+            overrides.pop("data", None)
         args = get_cfg(DEFAULT_CFG_DICT, overrides)
         self._ensure_params(args.imgsz if isinstance(args.imgsz, int) else 640)
         return Exporter(args)(self.model, self.params, self.batch_stats)
@@ -342,10 +347,14 @@ class YOLO:
     def benchmark(self, **kwargs):
         overrides = {**self.overrides, **kwargs}
         overrides.pop("model", None)
-        if overrides.pop("formats", None):
+        fmts = overrides.pop("formats", None)
+        if fmts:
             # reference benchmark(): export every deployment format and
-            # measure each (size, throughput, mAP) through AutoBackend
+            # measure each (size, throughput, mAP) through AutoBackend.
+            # formats=True uses the default set; a list/tuple selects.
             from .benchmarks import benchmark_formats
+            if isinstance(fmts, (list, tuple)):
+                overrides["formats"] = tuple(fmts)
             return benchmark_formats(self, **overrides)
         from .benchmarks import benchmark
         return benchmark(self, **overrides)

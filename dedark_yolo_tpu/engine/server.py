@@ -61,9 +61,13 @@ class InferenceServer:
         # the trainer; jit follows the operands' shardings)
         self._mesh = mesh
         if mesh is not None:
-            assert not str(model_spec).endswith(".bin"), (
-                "exported .bin artifacts carry fixed single-device shardings; "
-                "serve the checkpoint instead to shard over a mesh")
+            from pathlib import Path as _P
+            is_artifact = (str(model_spec).endswith((".bin", ".tflite"))
+                           or (_P(str(model_spec)) / "saved_model.pb").is_file())
+            assert not is_artifact, (
+                "exported artifacts (.bin/.tflite/saved_model) carry fixed "
+                "single-device shapes; serve the checkpoint instead to shard "
+                "over a mesh")
             assert self.max_batch % mesh.devices.size == 0, (
                 f"max_batch {self.max_batch} must be a multiple of the mesh "
                 f"size {mesh.devices.size}")

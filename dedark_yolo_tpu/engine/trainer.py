@@ -97,15 +97,11 @@ class BaseTrainer:
         self.data = self.check_data(self.args.data) if self.args.data else None
 
     def _get_save_dir(self):
+        from ..utils import increment_dir
         project = Path(self.args.project or f"runs/{self.task}")
         name = self.args.name or "train"
-        d = project / name
-        if d.exists() and not self.args.exist_ok and not self.args.resume:
-            for i in range(2, 9999):
-                d = project / f"{name}{i}"
-                if not d.exists():
-                    break
-        return d
+        return increment_dir(project / name,
+                             self.args.exist_ok or self.args.resume)
 
     # ----------------------------------------------------------- task hooks
     def check_data(self, path):
