@@ -261,11 +261,13 @@ class BYTETracker:
                 t.mark_removed()
                 self.removed.append(t)
 
-        # rebuild the lists
+        # rebuild the lists (identity set: O(n) instead of O(n^2) scans)
         self.tracked = [t for t in self.tracked if t.state == TRACKED]
+        cur = set(map(id, self.tracked))
         for t in activated + refind:
-            if t not in self.tracked:
+            if id(t) not in cur:
                 self.tracked.append(t)
+                cur.add(id(t))
         self.lost = [t for t in self.lost
                      if t.state == LOST] + [t for t in lost_now
                                             if t.state == LOST]
