@@ -28,8 +28,10 @@ examples:
     python -m dedark_yolo_tpu train model=yolov8l.yaml data=data.yaml epochs=5 imgsz=640 batch=4
     python -m dedark_yolo_tpu val model=runs/detect/train/weights/best.npz data=data.yaml
     python -m dedark_yolo_tpu predict model=best.npz source=images/ conf=0.4
-    python -m dedark_yolo_tpu export model=best.npz format=stablehlo
-    python -m dedark_yolo_tpu serve model=best.npz port=8080 batch=8
+    python -m dedark_yolo_tpu track model=best.npz source=video.mp4 tracker=bytetrack.yaml
+    python -m dedark_yolo_tpu export model=best.npz format=bin        # also: stablehlo, npz, saved_model, tflite, pb
+    python -m dedark_yolo_tpu benchmark model=best.npz formats=True
+    python -m dedark_yolo_tpu serve model=best.npz port=8080 batch=8  # .bin/.tflite artifacts too
     python -m dedark_yolo_tpu segment val model=yolov8-seg.yaml data=data.yaml
 special:
     python -m dedark_yolo_tpu cfg        # print default config
