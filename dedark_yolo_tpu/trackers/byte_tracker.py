@@ -108,22 +108,6 @@ class STrack:
         self.frame_id = self.start_frame = frame_id
         self.is_activated = frame_id == 1  # first frame: no confirmation lag
 
-    def re_activate(self, det, frame_id):
-        self.mean, self.cov = self.kf.update(
-            self.mean, self.cov, self.to_measurement(det._tlwh))
-        self.state = TRACKED
-        self.is_activated = True
-        self.frame_id = frame_id
-        self.score, self.cls, self.det_idx = det.score, det.cls, det.det_idx
-
-    def update(self, det, frame_id):
-        self.frame_id = frame_id
-        self.mean, self.cov = self.kf.update(
-            self.mean, self.cov, self.to_measurement(det._tlwh))
-        self.state = TRACKED
-        self.is_activated = True
-        self.score, self.cls, self.det_idx = det.score, det.cls, det.det_idx
-
     def mark_lost(self):
         self.state = LOST
 
@@ -210,6 +194,13 @@ class BYTETracker:
                 t.mean, t.cov = m, c
         self._gmc_apply(img, pool + unconfirmed)
 
+        # matched (track, det) KF updates are DEFERRED and applied as one
+        # stacked multi_update after all three association stages — each
+        # track matches at most once and matching uses the predicted (not
+        # updated) states, so deferral is semantics-preserving while turning
+        # N Python-level 8x8 updates into one batched solve
+        pending = []  # (track, det)
+
         # stage 1: high-score detections vs confirmed+lost tracks
         dists = self._dists(pool, d_hi)
         matches, u_track, u_det = linear_assignment(
@@ -217,12 +208,8 @@ class BYTETracker:
         activated, refind = [], []
         for it, idet in matches:
             t, d = pool[it], d_hi[idet]
-            if t.state == TRACKED:
-                t.update(d, self.frame_id)
-                activated.append(t)
-            else:
-                t.re_activate(d, self.frame_id)
-                refind.append(t)
+            pending.append((t, d))
+            (activated if t.state == TRACKED else refind).append(t)
 
         # stage 2: low-score detections vs tracks still TRACKED (ByteTrack's
         # core trick — occluded objects keep their ID through confidence dips)
@@ -231,7 +218,7 @@ class BYTETracker:
                               [t.xyxy for t in d_lo])
         matches, u_remain, _ = linear_assignment(d2, 0.5)
         for it, idet in matches:
-            remain[it].update(d_lo[idet], self.frame_id)
+            pending.append((remain[it], d_lo[idet]))
             activated.append(remain[it])
         for i in u_remain:
             remain[i].mark_lost()
@@ -242,7 +229,7 @@ class BYTETracker:
         d3 = self._dists(unconfirmed, left_hi)
         matches, u_unconf, u_det2 = linear_assignment(d3, 0.7)
         for it, idet in matches:
-            unconfirmed[it].update(left_hi[idet], self.frame_id)
+            pending.append((unconfirmed[it], left_hi[idet]))
             activated.append(unconfirmed[it])
         for i in u_unconf:
             unconfirmed[i].mark_removed()
@@ -254,6 +241,19 @@ class BYTETracker:
             if d.score >= self.args.new_track_thresh:
                 d.activate(self.kf, self.frame_id, self.next_id())
                 activated.append(d)
+
+        # apply the deferred updates in one stacked solve
+        if pending:
+            means = np.stack([t.mean for t, _ in pending])
+            covs = np.stack([t.cov for t, _ in pending])
+            meas = np.stack([t.to_measurement(d._tlwh) for t, d in pending])
+            means, covs = self.kf.multi_update(means, covs, meas)
+            for (t, d), m, c in zip(pending, means, covs):
+                t.mean, t.cov = m, c
+                t.state = TRACKED
+                t.is_activated = True
+                t.frame_id = self.frame_id
+                t.score, t.cls, t.det_idx = d.score, d.cls, d.det_idx
 
         # expire stale lost tracks
         for t in self.lost:

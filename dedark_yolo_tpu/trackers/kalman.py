@@ -97,6 +97,35 @@ class KalmanFilterXYAH:
         innov = measurement - pm
         return mean + k @ innov, cov - k @ pc @ k.T
 
+    def _project_std_batch(self, means):
+        """(N,8) means -> (N,4) measurement-noise stds (vectorized
+        counterpart of _project_std)."""
+        h = means[:, 3]
+        return np.stack([self._wp * h, self._wp * h,
+                         np.full_like(h, 1e-1), self._wp * h], -1)
+
+    def multi_update(self, means, covs, measurements):
+        """Vectorized update over N tracks: (N,8), (N,8,8), (N,4) -> same.
+        One stacked Cholesky/solve instead of N Python-level 8x8 updates —
+        the dominant cost of the per-frame tracker tail at high counts."""
+        if len(means) == 0:
+            return means, covs
+        pm = means @ self._H.T                                   # (N,4)
+        std = self._project_std_batch(means)
+        pc = (self._H @ covs @ self._H.T
+              + std[:, :, None] * np.eye(4) * std[:, None, :])   # diag(std^2)
+        chol = np.linalg.cholesky(pc)
+        covHT = covs @ self._H.T                                 # (N,8,4)
+        # K^T = pc^-1 (cov H')^T via two stacked triangular-ish solves
+        kt = np.linalg.solve(
+            np.transpose(chol, (0, 2, 1)),
+            np.linalg.solve(chol, np.transpose(covHT, (0, 2, 1))))
+        k = np.transpose(kt, (0, 2, 1))                          # (N,8,4)
+        innov = measurements - pm
+        new_means = means + np.einsum("nij,nj->ni", k, innov)
+        new_covs = covs - k @ pc @ np.transpose(k, (0, 2, 1))
+        return new_means, new_covs
+
     def gating_distance(self, mean, cov, measurements, only_position=False):
         """Squared Mahalanobis distance of measurements (M,4) to the projected
         state; compare against _chi2inv95[4] (or [2]) to gate.
@@ -135,3 +164,8 @@ class KalmanFilterXYWH(KalmanFilterXYAH):
         w, h = mean[2], mean[3]
         return np.asarray([self._wp * w, self._wp * h,
                            self._wp * w, self._wp * h])
+
+    def _project_std_batch(self, means):
+        w, h = means[:, 2], means[:, 3]
+        return np.stack([self._wp * w, self._wp * h,
+                         self._wp * w, self._wp * h], -1)

@@ -309,3 +309,22 @@ def test_track_results_on_already_tracked_boxes_drops_id_column():
     # re-tracked: fresh id 1 from the new tracker, box coords preserved
     assert int(out.boxes.id[0]) == 1
     assert np.allclose(out.boxes.xyxy[0], [80, 70, 120, 130])
+
+
+def test_kalman_multi_update_matches_sequential():
+    for kf_cls in (KalmanFilterXYAH, KalmanFilterXYWH):
+        kf = kf_cls()
+        tracks = [kf.predict(*kf.initiate(
+            np.asarray([40.0 * i + 10, 25.0 * i + 5,
+                        0.5 if kf_cls is KalmanFilterXYAH else 30.0, 40.0])))
+            for i in range(5)]
+        meas = np.stack([np.asarray(
+            [40.0 * i + 12, 25.0 * i + 4,
+             0.55 if kf_cls is KalmanFilterXYAH else 31.0, 41.0])
+            for i in range(5)])
+        bm, bc = kf.multi_update(np.stack([t[0] for t in tracks]),
+                                 np.stack([t[1] for t in tracks]), meas)
+        for i, (m, c) in enumerate(tracks):
+            sm, sc = kf.update(m, c, meas[i])
+            np.testing.assert_allclose(bm[i], sm, rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(bc[i], sc, rtol=1e-10, atol=1e-10)
