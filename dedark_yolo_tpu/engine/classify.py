@@ -66,7 +66,8 @@ class ClassificationDataset:
         import cv2
         import random as _r
         path, cid = self.samples[i]
-        img = cv2.imread(path)
+        from ..utils.patches import imread
+        img = imread(path)
         img = cv2.resize(img, (self.imgsz, self.imgsz),
                          interpolation=cv2.INTER_LINEAR)
         if train and rng and rng.random() < 0.5:

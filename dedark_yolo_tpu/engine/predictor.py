@@ -67,7 +67,8 @@ def load_source(source, vid_stride=1):
             idx += 1
         cap.release()
     elif p.is_file():
-        img = cv2.imread(str(p))
+        from ..utils.patches import imread
+        img = imread(p)
         if img is None:
             raise FileNotFoundError(f"could not read image: {p}")
         yield str(p), img, None

@@ -129,3 +129,17 @@ def test_convert_coco_end_to_end(tmp_path):
     vals = list(map(float, seg_row.split()))[1:]
     assert len(vals) >= 12 and len(vals) % 2 == 0
     assert all(0 <= v <= 1 for v in vals)
+
+
+def test_robust_imread_imwrite_unicode_path(tmp_path):
+    """utils/patches.py (reference patches.py): cv2 IO survives non-ASCII
+    paths via imencode/imdecode + fromfile/tofile."""
+    import cv2
+    from dedark_yolo_tpu.utils.patches import imread, imwrite
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[2:6, 2:6] = (0, 255, 0)
+    p = tmp_path / "изображение_测试.png"
+    assert imwrite(p, img)
+    back = imread(p)
+    assert back is not None and np.array_equal(back, img)
+    assert imread(tmp_path / "missing.png") is None
