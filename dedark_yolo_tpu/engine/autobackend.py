@@ -85,34 +85,13 @@ class AutoBackend:
                 params = jax.tree_util.tree_map(
                     lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
                     params)
-            task = self.task
-
             @jax.jit
             def fn(img_u8):
-                # same per-task tuple as exported artifacts (detect/classify/
-                # rtdetr via the live decode; segment/pose like the exporter)
-                x = img_u8.astype(dtype) / 255.0
-                v = {"params": params, "batch_stats": batch_stats}
-                from ..nn.heads import decode_detections
-                if task == "segment":
-                    det, coefs, protos = model.module.apply(v, x, train=False)
-                    b, s = decode_detections(det, model.nc, model.strides,
-                                             model.reg_max)
-                    nm = protos.shape[-1]
-                    cf = jnp.concatenate(
-                        [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
-                    outs = (b, s, cf, protos)
-                elif task == "pose":
-                    from .pose import model_kpt_shape
-                    from ..nn.heads import decode_keypoints
-                    det, kmaps = model.module.apply(v, x, train=False)
-                    b, s = decode_detections(det, model.nc, model.strides,
-                                             model.reg_max)
-                    outs = (b, s, decode_keypoints(kmaps, model.strides,
-                                                   model_kpt_shape(model)))
-                else:
-                    out = model.apply_eval(v, x)
-                    outs = out if isinstance(out, tuple) else (out,)
+                # the model's canonical per-task tuple — same definition the
+                # exporter serializes, so live and artifact backends agree
+                outs = model.eval_outputs(
+                    {"params": params, "batch_stats": batch_stats},
+                    img_u8.astype(dtype) / 255.0)
                 return tuple(o.astype(jnp.float32) for o in outs)
 
             self._fn = fn

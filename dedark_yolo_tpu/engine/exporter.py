@@ -33,7 +33,7 @@ class Exporter:
             from ..data import check_det_dataset
             from ..data.dataset import _scan_images
             from ..data.augment import letterbox
-            import cv2
+            from ..utils.patches import imread
             import numpy as np
             data = check_det_dataset(a.data)
             # _scan_images handles both dir and .txt-list val specs and
@@ -41,7 +41,7 @@ class Exporter:
             files = _scan_images(data.get("val") or data.get("train"))
             imgs = []
             for f in files:
-                img = cv2.imread(str(f))
+                img = imread(f)
                 if img is None:
                     continue
                 lb, _, _ = letterbox(img, imgsz)
@@ -73,38 +73,12 @@ class Exporter:
                 if x.dtype == jnp.float32 else x, params)
 
         def infer(img):
-            """Task-aware export program (the reference exports every task,
-            exporter.py:74-938). Output tuples, fixed order per task:
-              detect/rtdetr -> (boxes_xywh, scores)
-              segment       -> (boxes, scores, mask_coefs, protos)
-              pose          -> (boxes, scores, keypoints)
-              classify      -> (probs,)
-            """
-            variables = {"params": params, "batch_stats": batch_stats}
-            from ..nn.heads import decode_detections
-            if task == "segment":
-                det, coefs, protos = model.module.apply(variables, img,
-                                                        train=False)
-                boxes, scores = decode_detections(det, model.nc,
-                                                  model.strides, model.reg_max)
-                nm = protos.shape[-1]
-                coef_flat = jnp.concatenate(
-                    [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
-                return boxes, scores, coef_flat, protos
-            if task == "pose":
-                from .pose import model_kpt_shape
-                from ..nn.heads import decode_keypoints
-                det, kpt_maps = model.module.apply(variables, img,
-                                                   train=False)
-                boxes, scores = decode_detections(det, model.nc,
-                                                  model.strides, model.reg_max)
-                kpts = decode_keypoints(kpt_maps, model.strides,
-                                        model_kpt_shape(model))
-                return boxes, scores, kpts
-            # classify / rtdetr / detect: the live decode path itself, so the
-            # exported program can never drift from model.apply_eval
-            out = model.apply_eval(variables, img)
-            return out if isinstance(out, tuple) else (out,)
+            """Task-aware export program: exactly the model's canonical
+            eval_outputs tuple (the reference exports every task,
+            exporter.py:74-938), so artifacts cannot drift from live
+            inference."""
+            return model.eval_outputs(
+                {"params": params, "batch_stats": batch_stats}, img)
 
         example = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
         OUTPUT_NAMES = {"detect": ["boxes", "scores"],
@@ -162,7 +136,7 @@ class Exporter:
                                                tf.uint8)])
             cf = tfun.get_concrete_function()
             import json
-            meta = sidecar_meta([o for o in cf.outputs])
+            meta = sidecar_meta(list(cf.outputs))
             if fmt in ("saved_model", "savedmodel"):
                 path = out_dir / "model_saved_model"
                 module = tf.Module()

@@ -20,7 +20,6 @@ from ..data.loader import DataLoader
 from ..data.pose import PoseDataset, collate_pose
 from ..losses.segment import pose_loss, OKS_SIGMA
 from ..nn.graph import DetectionModel
-from ..nn.heads import decode_detections, decode_keypoints
 from ..ops.boxes import scale_boxes, scale_coords
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
@@ -40,9 +39,9 @@ def kpt_oks(gt_kpts, pred_kpts, area, sigmas):
 
 
 def model_kpt_shape(model):
-    """Extract (nk, dims) from the model's Pose head spec."""
-    args = model.head.get("args", ())
-    return tuple(args[1]) if len(args) > 1 else (17, 3)
+    """Extract (nk, dims) from the model's Pose head spec (delegates to the
+    canonical DetectionModel.kpt_shape)."""
+    return model.kpt_shape
 
 
 class PoseTrainer(BaseTrainer):
@@ -163,14 +162,10 @@ class PoseValidator:
         else:
             @jax.jit
             def val_step(params, batch_stats, img):
-                x = img.astype(jnp.float32) / 255.0
-                det, kpt_maps = model.module.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False)
-                boxes, scores = decode_detections(det, model.nc, model.strides,
-                                                  model.reg_max)
+                boxes, scores, kpts = model.eval_outputs(
+                    {"params": params, "batch_stats": batch_stats},
+                    img.astype(jnp.float32) / 255.0)
                 dets, counts, aidx = _nms(boxes, scores)
-                kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
                 return dets, counts, aidx, kpts
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -340,16 +335,11 @@ class PosePredictor(DetectionPredictor):
 
             return backend_step
 
-        kpt_shape = model_kpt_shape(model)
-
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
             params, batch_stats = members[0]   # pose predict: single member
-            det, kpt_maps = model.module.apply(
-                {"params": params, "batch_stats": batch_stats}, img, train=False)
-            boxes, scores = decode_detections(det, model.nc, model.strides,
-                                              model.reg_max)
-            kpts = decode_keypoints(kpt_maps, model.strides, kpt_shape)
+            boxes, scores, kpts = model.eval_outputs(
+                {"params": params, "batch_stats": batch_stats}, img)
             return finish(boxes, scores, kpts)
 
         return jax.jit(step)

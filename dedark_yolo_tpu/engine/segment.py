@@ -22,7 +22,6 @@ from ..data.loader import DataLoader
 from ..data.segment import SegmentDataset, collate_segment
 from ..losses.segment import segmentation_loss
 from ..nn.graph import DetectionModel
-from ..nn.heads import decode_detections
 from ..ops.boxes import scale_boxes
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
@@ -140,16 +139,10 @@ class SegmentationValidator:
         else:
             @jax.jit
             def val_step(params, batch_stats, img):
-                x = img.astype(jnp.float32) / 255.0
-                det, coefs, protos = model.module.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False)
-                boxes, scores = decode_detections(det, model.nc, model.strides,
-                                                  model.reg_max)
+                boxes, scores, coef_flat, protos = model.eval_outputs(
+                    {"params": params, "batch_stats": batch_stats},
+                    img.astype(jnp.float32) / 255.0)
                 dets, counts, aidx = _nms(boxes, scores)
-                nm = protos.shape[-1]
-                coef_flat = jnp.concatenate(
-                    [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
                 return dets, counts, aidx, coef_flat, protos
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -391,13 +384,8 @@ class SegmentationPredictor(DetectionPredictor):
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
             params, batch_stats = members[0]   # seg predict: single member
-            det, coefs, protos = model.module.apply(
-                {"params": params, "batch_stats": batch_stats}, img, train=False)
-            boxes, scores = decode_detections(det, model.nc, model.strides,
-                                              model.reg_max)
-            nm = protos.shape[-1]
-            coef_flat = jnp.concatenate(
-                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+            boxes, scores, coef_flat, protos = model.eval_outputs(
+                {"params": params, "batch_stats": batch_stats}, img)
             return finish(boxes, scores, coef_flat, protos, img.shape[1])
 
         return jax.jit(step)

@@ -492,6 +492,40 @@ class DetectionModel:
             return raw[..., :4] * scale, raw[..., 4:]
         return decode_detections(raw, self.nc, self.strides, self.reg_max)
 
+    @property
+    def kpt_shape(self):
+        """(nk, dims) from the Pose head spec (defaults to COCO 17x3)."""
+        args = self.head.get("args", ())
+        return tuple(args[1]) if len(args) > 1 else (17, 3)
+
+    def eval_outputs(self, variables, x):
+        """The task's canonical decoded output tuple — ONE definition shared
+        by the exporter, AutoBackend's live branch, and the task predictors/
+        validators, so deployed artifacts can never drift from live
+        inference:
+          detect/rtdetr -> (boxes_xywh, scores)
+          segment       -> (boxes, scores, coef_flat, protos)
+          pose          -> (boxes, scores, decoded_keypoints)
+          classify      -> (probs,)
+        """
+        if self.task == "segment":
+            det, coefs, protos = self.module.apply(variables, x, train=False)
+            boxes, scores = decode_detections(det, self.nc, self.strides,
+                                              self.reg_max)
+            nm = protos.shape[-1]
+            coef_flat = jnp.concatenate(
+                [m.reshape(m.shape[0], -1, nm) for m in coefs], axis=1)
+            return boxes, scores, coef_flat, protos
+        if self.task == "pose":
+            from .heads import decode_keypoints
+            det, kpt_maps = self.module.apply(variables, x, train=False)
+            boxes, scores = decode_detections(det, self.nc, self.strides,
+                                              self.reg_max)
+            return boxes, scores, decode_keypoints(kpt_maps, self.strides,
+                                                   self.kpt_shape)
+        out = self.apply_eval(variables, x)
+        return out if isinstance(out, tuple) else (out,)
+
     def num_params(self, variables):
         return sum(int(np.prod(p.shape)) for p in
                    jax.tree_util.tree_leaves(variables["params"]))
