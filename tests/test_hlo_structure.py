@@ -74,3 +74,37 @@ def test_concat_elision_removes_concatenates_from_flagship():
     # the flagship has ~20 C2f/SPPF/FPN concats feeding 1x1 convs; elision
     # must remove the bulk of them from the compiled program
     assert counts[True] <= counts[False] - 10, counts
+
+
+@pytest.mark.slow
+def test_concat_elision_reaches_the_backward_pass():
+    """Split-K 1x1 convs differentiate into per-input dots, so the TRAIN
+    graph (forward + backward) loses concatenate ops too — the optimization
+    is not eval-only (measured on CPU HLO: 32 -> 19 at L/64px)."""
+    from dedark_yolo_tpu.cfg import model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+
+    d = model_yaml_load("dedark_yolo_tpu/cfg/models/yolov8.yaml")
+    d["scale"], d["nc"] = "l", 3
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    counts = {}
+    entry = L.ELIDE_CONCAT
+    try:
+        for on in (True, False):
+            L.set_concat_elision(on)
+            m = DetectionModel(d)
+            v = m.init(jax.random.PRNGKey(0), imgsz=64)
+
+            def loss(params, bs, t, _m=m):
+                raw, _ = _m.apply_train(
+                    {"params": params, "batch_stats": bs}, t)
+                return sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                           for x in jax.tree_util.tree_leaves(raw))
+
+            hlo = (jax.jit(jax.grad(loss))
+                   .lower(v["params"], v["batch_stats"], img)
+                   .compile().as_text())
+            counts[on] = len(re.findall(r" concatenate\(", hlo))
+    finally:
+        L.set_concat_elision(entry)
+    assert counts[True] <= counts[False] - 10, counts
