@@ -258,9 +258,24 @@ class BaseTrainer:
             mesh = make_mesh(devices=devs[:n])
         self.mesh = mesh
         n_dev = mesh.devices.size
-        if a.batch % n_dev != 0:
-            raise ValueError(f"batch {a.batch} must divide evenly over {n_dev} devices")
-        LOGGER.info(f"mesh: {n_dev} device(s) on axis 'data'; global batch {a.batch}")
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        dp = axis_sizes.get("data", n_dev)
+        sp = axis_sizes.get("spatial", 1)
+        if a.batch % dp != 0:
+            raise ValueError(
+                f"batch {a.batch} must divide evenly over the {dp}-way data axis")
+        if sp > 1:
+            # spatial training shards image rows over the mesh (shard_batch);
+            # every pyramid level down to stride 32 must split evenly so GSPMD
+            # keeps static per-shard conv shapes (same rule as spatial_infer)
+            if a.imgsz % (32 * sp) != 0:
+                raise ValueError(
+                    f"imgsz {a.imgsz} must divide 32 * {sp} spatial shards "
+                    f"(use imgsz={-(-a.imgsz // (32 * sp)) * 32 * sp})")
+        LOGGER.info(
+            f"mesh: {n_dev} device(s) "
+            f"({' x '.join(f'{k}={v}' for k, v in axis_sizes.items())}); "
+            f"global batch {a.batch}")
         multi_process = jax.process_count() > 1
         # per-epoch val runs on process 0 ONLY (reference rank-0 val,
         # trainer.py:366-393). Handing it the GLOBAL mesh would make its

@@ -40,7 +40,7 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch, axis="data"):
+def shard_batch(mesh, batch, axis="data", spatial_axis="spatial"):
     """Device_put a host batch dict with the batch dim sharded over `axis`.
 
     Multi-process (mesh spans non-addressable devices): each process passes
@@ -49,13 +49,29 @@ def shard_batch(mesh, batch, axis="data"):
     (the jax replacement for DistributedSampler + DDP input scatter). The effective
     global batch is per-process batch x process_count, matching the
     reference's per-GPU batch convention.
+
+    2-D data x spatial meshes (``make_mesh(shape=(dp, sp), axes=('data',
+    'spatial'))``): image leaves — ndim==4 (B, H, W, C) with H divisible by
+    the spatial axis size — are additionally sharded over `spatial_axis` on
+    the row dim. XLA GSPMD then partitions every convolution spatially,
+    inserting halo exchanges at shard boundaries (same mechanism as
+    spatial_infer), which cuts per-chip activation memory by 1/sp in the
+    TRAINING step too. Label leaves (ndim<4) stay batch-sharded only.
     """
-    sh = batch_sharding(mesh, axis)
+    sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(spatial_axis, 1)
+
+    def spec(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if sp > 1 and getattr(x, "ndim", 0) == 4 and x.shape[1] % sp == 0:
+            return NamedSharding(mesh, P(axis, spatial_axis))
+        return NamedSharding(mesh, P(axis))
+
     if jax.process_count() > 1:
         def put(x):
-            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(spec(x), x)
         return jax.tree_util.tree_map(put, batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec(x)), batch)
 
 
 def replicate(mesh, tree):

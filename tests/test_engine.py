@@ -39,6 +39,29 @@ def test_train_artifacts(trained):
     assert "fitness" in metrics
 
 
+@pytest.mark.slow
+def test_train_2d_mesh_spatial(synth_yaml, tmp_path):
+    """Full user-facing training on a 2-D (data x spatial) mesh: image rows
+    sharded over 'spatial' inside the differentiated train step (GSPMD halo
+    exchange), batch over 'data'. imgsz must divide 32 * spatial shards."""
+    from dedark_yolo_tpu import YOLO
+    model = YOLO(TINY)
+    metrics = model.train(data=synth_yaml, epochs=1, imgsz=64, batch=2,
+                          mesh_shape=[2, 2], mesh_axes=["data", "spatial"],
+                          workers=2, project=str(tmp_path), name="sp",
+                          max_boxes=16, max_nms=256, max_det=20,
+                          warmup_epochs=0.0, plots=False, val=True)
+    assert "fitness" in metrics
+    rows = (tmp_path / "sp" / "results.csv").read_text().strip().splitlines()[1:]
+    assert all(np.isfinite(float(x)) for x in rows[0].split(","))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide 32"):
+        YOLO(TINY).train(data=synth_yaml, epochs=1, imgsz=96, batch=2,
+                         mesh_shape=[2, 2], mesh_axes=["data", "spatial"],
+                         project=str(tmp_path), name="bad", plots=False)
+
+
 def test_train_loss_finite(trained):
     _, _, run_dir = trained
     rows = (run_dir / "results.csv").read_text().strip().splitlines()[1:]
