@@ -311,6 +311,10 @@ class PosePredictor(DetectionPredictor):
         conf, iou = float(a.conf), float(a.iou)
         max_det, max_nms = int(a.max_det), int(a.max_nms)
         dtype = jnp.bfloat16 if a.half else jnp.float32
+        if getattr(a, "augment", False):
+            # reference tasks.py:381-387: pose TTA falls back to single scale
+            LOGGER.warning("pose has not supported augment inference yet — "
+                           "using single-scale inference instead")
 
         def finish(boxes, scores, kpts):
             """NMS + exact keypoint gather; shared by the live-model path and

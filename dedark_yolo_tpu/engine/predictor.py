@@ -26,7 +26,7 @@ from ..cfg import get_cfg, DEFAULT_CFG_DICT
 from ..data.augment import letterbox
 from ..data.dataset import IMG_FORMATS
 from ..ops.boxes import scale_boxes
-from ..utils import increment_dir
+from ..utils import LOGGER, increment_dir
 from ..ops.nms import non_max_suppression
 from .results import Results
 
@@ -106,6 +106,12 @@ class DetectionPredictor:
 
         from .autobackend import AutoBackend
         if isinstance(model, AutoBackend):
+            if getattr(a, "augment", False):
+                # reference parity: AutoBackend forwards `augment` only for
+                # the live-torch branch; exported artifacts ignore it
+                LOGGER.warning(
+                    "augment=True is ignored for exported artifacts "
+                    "(single-scale inference)")
             # exported-artifact inference (reference predictor wraps the model
             # in AutoBackend, predictor.py:332-344): the artifact runs
             # enhance+forward+decode; only NMS happens here
@@ -119,11 +125,45 @@ class DetectionPredictor:
 
             return lambda members, img_u8: nms_step(*model.forward(img_u8))
 
+        # test-time augmentation (reference tasks.py:303-343): detect-task
+        # live models only — seg/pose/rtdetr fall back to single scale with
+        # a warning exactly like the reference (tasks.py:358-364, 381-387)
+        use_tta = bool(getattr(a, "augment", False))
+        if use_tta and (model.task != "detect"
+                        or model.head["name"] == "RTDETRDecoder"):
+            LOGGER.warning(
+                f"{model.task} has not supported augment inference yet — "
+                "using single-scale inference instead")
+            use_tta = False
+        if use_tta and (want_enhanced or getattr(a, "visualize", False)):
+            LOGGER.warning("augment=True skips save_enhanced/visualize "
+                           "captures (reference _predict_augment behavior)")
+
         # per-stage feature dumps (reference predictor.py:136-162
         # feature_visualization): capture every layer's activation, first
         # image only, sliced to 32 channels on DEVICE so readback stays tiny
         viz_capture = (tuple(sp.i for sp in model.specs)
-                       if getattr(a, "visualize", False) else ())
+                       if getattr(a, "visualize", False) and not use_tta
+                       else ())
+
+        if use_tta:
+            def tta_step(members, img_u8):
+                img = img_u8.astype(dtype) / 255.0
+                boxes_l, scores_l = [], []
+                for params, batch_stats in members:
+                    b, s = model.tta_eval(
+                        {"params": params, "batch_stats": batch_stats}, img)
+                    boxes_l.append(b)
+                    scores_l.append(s)
+                dets, counts = non_max_suppression(
+                    jnp.concatenate(boxes_l, 1).astype(jnp.float32),
+                    jnp.concatenate(scores_l, 1).astype(jnp.float32),
+                    conf_thres=conf, iou_thres=iou, max_det=max_det,
+                    max_nms=max_nms, multi_label=False,
+                    agnostic=bool(a.agnostic_nms))
+                return {"dets": dets, "counts": counts}
+
+            return jax.jit(tta_step)
 
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0

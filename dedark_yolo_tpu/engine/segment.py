@@ -341,6 +341,10 @@ class SegmentationPredictor(DetectionPredictor):
         conf, iou = float(a.conf), float(a.iou)
         max_det, max_nms = int(a.max_det), int(a.max_nms)
         dtype = jnp.bfloat16 if a.half else jnp.float32
+        if getattr(a, "augment", False):
+            # reference tasks.py:358-364: segment TTA falls back to single scale
+            LOGGER.warning("segment has not supported augment inference yet — "
+                           "using single-scale inference instead")
 
         def finish(boxes, scores, coef_flat, protos, img_h):
             """NMS + mask assembly from decoded candidates; shared by the

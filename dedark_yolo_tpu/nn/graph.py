@@ -492,6 +492,50 @@ class DetectionModel:
             return raw[..., :4] * scale, raw[..., 4:]
         return decode_detections(raw, self.nc, self.strides, self.reg_max)
 
+    def tta_eval(self, variables, x):
+        """Test-time-augmented detect inference (reference tasks.py:303-343
+        _predict_augment / _descale_pred / _clip_augmented).
+
+        Three forwards at scales [1, 0.83, 0.67] with an lr flip on the
+        middle one; each scaled input is bilinear-resized (torch-kernel
+        parity) and bottom/right padded with 0.447 to a stride multiple
+        (torch_utils.py:270-279 scale_img). Predictions are descaled and
+        de-flipped back into the original frame, then the extreme-scale
+        anchor tails are clipped — the unscaled pass drops its coarsest
+        (P5) level, the most-downscaled pass drops its finest (P3) level —
+        and all candidates concatenate for ONE NMS. All shapes are static:
+        XLA traces the three branch resolutions once, so TTA stays a single
+        compiled graph per input shape (no retracing per frame).
+        """
+        import math
+        from .enhance import torch_bilinear_resize
+        h, w = int(x.shape[1]), int(x.shape[2])
+        gs = int(max(self.strides))
+        nl = len(self.strides)
+        g = sum(4 ** i for i in range(nl))
+        outs = []
+        for si, flip_lr in ((1.0, False), (0.83, True), (0.67, False)):
+            xi = x[:, :, ::-1, :] if flip_lr else x
+            if si != 1.0:
+                sh, sw = int(h * si), int(w * si)
+                xi = torch_bilinear_resize(xi, sh, sw)
+                ph = math.ceil(h * si / gs) * gs
+                pw = math.ceil(w * si / gs) * gs
+                xi = jnp.pad(xi, ((0, 0), (0, ph - sh), (0, pw - sw), (0, 0)),
+                             constant_values=0.447)
+            boxes, scores = self.apply_eval(variables, xi)
+            boxes = boxes / si
+            if flip_lr:  # xywh: only the center x mirrors; w/h are invariant
+                boxes = boxes.at[..., 0].set(w - boxes[..., 0])
+            outs.append((boxes, scores))
+        (b0, s0), (b1, s1), (b2, s2) = outs
+        i0 = (b0.shape[1] // g) * 1
+        b0, s0 = b0[:, :-i0], s0[:, :-i0]
+        i2 = (b2.shape[1] // g) * 4 ** (nl - 1)
+        b2, s2 = b2[:, i2:], s2[:, i2:]
+        return (jnp.concatenate([b0, b1, b2], axis=1),
+                jnp.concatenate([s0, s1, s2], axis=1))
+
     @property
     def kpt_shape(self):
         """(nk, dims) from the Pose head spec (defaults to COCO 17x3)."""
