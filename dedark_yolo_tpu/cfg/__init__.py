@@ -9,6 +9,7 @@ with the same key set as cfg/default.yaml, including the Dedark fork flags
 from __future__ import annotations
 
 import difflib
+import logging
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -132,6 +133,18 @@ def get_cfg(cfg=DEFAULT_CFG_DICT, overrides: dict | None = None) -> IterableSimp
         sub = overrides.pop("cfg", None)
         if sub:
             cfg.update(yaml_load(sub))
+        LOGGER = logging.getLogger("dedark_yolo_tpu")
+        # deprecation shims (reference cfg/__init__.py:148-161): hide_* keys
+        # invert into their show_* replacements
+        for old, new in (("hide_labels", "show_labels"),
+                         ("hide_conf", "show_conf")):
+            if old in overrides:
+                LOGGER.warning(f"'{old}' is deprecated — use '{new}' instead")
+                v = overrides.pop(old)
+                overrides[new] = not (v if isinstance(v, bool) else v != "False")
+        if "line_thickness" in overrides:
+            LOGGER.warning("'line_thickness' is deprecated — use 'line_width'")
+            overrides["line_width"] = overrides.pop("line_thickness")
         check_cfg_alignment(DEFAULT_CFG_KEYS, overrides)
         cfg.update(overrides)
     for k, v in list(cfg.items()):

@@ -331,6 +331,12 @@ class DetectionPredictor:
         import cv2
         stem = Path(res.path).stem if res.path != "array" else "image"
         self.save_dir.mkdir(parents=True, exist_ok=True)
+        a = self.args
+        # reference predictor.py:199-203: plot args from cfg keys
+        plot_args = {"line_width": a.line_width,
+                     "boxes": getattr(a, "boxes", True),
+                     "conf": getattr(a, "show_conf", True),
+                     "labels": getattr(a, "show_labels", True)}
         if meta is not None and self.args.save:
             # video frame: mux annotated frames (predictor.py:356-377 equivalent)
             _, fps, _ = meta
@@ -340,10 +346,10 @@ class DetectionPredictor:
                 self._writers[res.path] = cv2.VideoWriter(
                     out_path, cv2.VideoWriter_fourcc(*"mp4v"),
                     max(fps / max(int(self.args.vid_stride), 1), 1), (w, h))
-            self._writers[res.path].write(res.plot()[..., ::-1])
+            self._writers[res.path].write(res.plot(**plot_args)[..., ::-1])
             return
         if self.args.save:
-            res.save(self.save_dir / f"{stem}.jpg")
+            res.save(self.save_dir / f"{stem}.jpg", **plot_args)
         if self.args.save_txt:
             res.save_txt(self.save_dir / "labels" / f"{stem}.txt",
                          save_conf=self.args.save_conf)

@@ -85,10 +85,19 @@ class Results:
     def __len__(self):
         return len(self.boxes)
 
-    def plot(self, line_width=None):
+    def plot(self, line_width=None, boxes=True, conf=True, labels=True,
+             **kwargs):
+        # deprecated kwarg shims (reference results.py:199-215)
+        if "show_conf" in kwargs:
+            conf = kwargs.pop("show_conf")
+        if "show_boxes" in kwargs:
+            boxes = kwargs.pop("show_boxes")
+        if "line_thickness" in kwargs:
+            line_width = kwargs.pop("line_thickness")
         from ..utils.plotting import annotate_image
         img = annotate_image(self.orig_img, self.boxes.data, self.names,
-                             line_width)
+                             line_width, show_boxes=boxes, show_conf=conf,
+                             show_labels=labels)
         if self.masks is not None and len(self.masks):
             import cv2
             h, w = self.orig_shape
@@ -110,9 +119,9 @@ class Results:
                         cv2.circle(img, (int(x), int(y)), 3, (0, 255, 0), -1)
         return img
 
-    def save(self, filename):
+    def save(self, filename, **plot_kwargs):
         import cv2
-        img = self.plot()
+        img = self.plot(**plot_kwargs)
         Path(filename).parent.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(filename), img[..., ::-1])
         return filename

@@ -371,7 +371,15 @@ class SegmentationPredictor(DetectionPredictor):
                      (xs < bx[..., 2, None, None]) &
                      (ys >= bx[..., 1, None, None]) &
                      (ys < bx[..., 3, None, None]))
-            masks = (jax.nn.sigmoid(logits) > 0.5) & inbox
+            if getattr(a, "retina_masks", False):
+                # retina_masks (reference segment/predict.py:34-36
+                # process_mask_native): ship box-cropped PROBABILITIES and
+                # threshold after a full-resolution bilinear upsample on the
+                # host, giving crisp native-res mask edges instead of
+                # nearest-upsampled proto-res binaries
+                masks = jax.nn.sigmoid(logits) * inbox
+            else:
+                masks = (jax.nn.sigmoid(logits) > 0.5) & inbox
             return {"dets": dets, "counts": counts, "masks": masks}
 
         from .autobackend import AutoBackend
@@ -403,10 +411,15 @@ class SegmentationPredictor(DetectionPredictor):
         mh, mw = masks.shape[-2:] if k else (1, 1)
         sx, sy = mw / imgsz, mh / imgsz
         px, py = int(round(dw * sx)), int(round(dh * sy))
+        retina = bool(getattr(self.args, "retina_masks", False))
         up = []
         for m in masks:
-            crop = m[py:mh - py or None, px:mw - px or None].astype(np.uint8)
-            up.append(cv2.resize(crop, (w0, h0),
-                                 interpolation=cv2.INTER_NEAREST) > 0)
+            crop = m[py:mh - py or None, px:mw - px or None]
+            if retina:
+                up.append(cv2.resize(crop.astype(np.float32), (w0, h0),
+                                     interpolation=cv2.INTER_LINEAR) > 0.5)
+            else:
+                up.append(cv2.resize(crop.astype(np.uint8), (w0, h0),
+                                     interpolation=cv2.INTER_NEAREST) > 0)
         return {"masks": (np.stack(up) if up
                           else np.zeros((0, h0, w0), bool))}

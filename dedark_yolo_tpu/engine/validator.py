@@ -113,6 +113,26 @@ class DetectionValidator:
                 from ..nn.heads import decode_detections
                 boxes, scores = decode_detections(raw, model.nc, model.strides,
                                                   model.reg_max)
+                if getattr(a, "save_hybrid", False):
+                    # autolabelling (reference detect/val.py:38-39 +
+                    # ops.py:221-227): GT boxes join the candidate set with
+                    # confidence 1.0, so NMS output = labels + novel
+                    # detections. Fixed-shape: the padded (B, max_boxes)
+                    # label tensor concatenates directly; padding rows carry
+                    # zero scores and fall to the conf gate. Conscious
+                    # deviation: the reference appends the labels in
+                    # NORMALIZED units against pixel predictions (upstream
+                    # quirk) — here they are scaled into the letterbox frame
+                    # so the hybrid actually merges.
+                    h, w = img.shape[1], img.shape[2]
+                    gt_boxes = batch["bboxes"] * jnp.asarray(
+                        [w, h, w, h], boxes.dtype)
+                    gt_scores = (jax.nn.one_hot(
+                        batch["cls"].astype(jnp.int32), model.nc,
+                        dtype=scores.dtype) * batch["mask_gt"][..., None])
+                    boxes = jnp.concatenate(
+                        [boxes, gt_boxes.astype(boxes.dtype)], axis=1)
+                    scores = jnp.concatenate([scores, gt_scores], axis=1)
                 dets, counts = non_max_suppression(
                     boxes, scores, conf_thres=conf, iou_thres=iou,
                     max_det=max_det, max_nms=max_nms, multi_label=True,
@@ -258,6 +278,24 @@ class DetectionValidator:
                 stats["target_cls"].append(gt_cls)
                 if a.plots:
                     cm.process_batch(det, gt_xyxy, gt_cls)
+                if getattr(a, "save_txt", False):
+                    # normalized-xywh label lines (reference detect/val.py:
+                    # 212-219 save_one_txt); with save_hybrid these are the
+                    # autolabelling output (GT + novel detections)
+                    txt_dir = self.save_dir / "labels"
+                    txt_dir.mkdir(parents=True, exist_ok=True)
+                    gn = np.asarray([w0, h0, w0, h0], np.float32)
+                    with open(txt_dir /
+                              f"{Path(ds.im_files[idx]).stem}.txt", "a") as f:
+                        for d in det:
+                            cx = (d[0] + d[2]) / 2 / gn[0]
+                            cy = (d[1] + d[3]) / 2 / gn[1]
+                            bw_ = (d[2] - d[0]) / gn[2]
+                            bh_ = (d[3] - d[1]) / gn[3]
+                            vals = [int(d[5]), cx, cy, bw_, bh_]
+                            if a.save_conf:
+                                vals.append(d[4])
+                            f.write(" ".join(f"{v:g}" for v in vals) + "\n")
                 if a.save_json:
                     # native-space xywh + filename-derived id
                     # (reference detect/val.py:221-236 pred_to_json)

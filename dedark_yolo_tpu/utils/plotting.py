@@ -144,11 +144,18 @@ def plot_images(batch, save_path, names=None, max_images=16):
     return save_path
 
 
-def annotate_image(img_rgb, dets, names=None, line_width=None):
+def annotate_image(img_rgb, dets, names=None, line_width=None,
+                   show_boxes=True, show_conf=True, show_labels=True):
     """Draw (n, 6) [xyxy, conf, cls] or (n, 7) [xyxy, track_id, conf, cls]
-    detections on an RGB uint8 image (ids prefix the label, reference-style)."""
+    detections on an RGB uint8 image (ids prefix the label, reference-style).
+
+    show_boxes/show_conf/show_labels mirror the reference's plot args
+    (predictor.py:199-203 boxes/conf/labels from the boxes/show_conf/
+    show_labels cfg keys)."""
     import cv2
     img = np.ascontiguousarray(img_rgb[..., ::-1].copy())  # to BGR for cv2
+    if not show_boxes:
+        return img[..., ::-1]
     lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
     palette = [(56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
                (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
@@ -161,7 +168,11 @@ def annotate_image(img_rgb, dets, names=None, line_width=None):
         c = int(d[-1])
         color = palette[c % len(palette)]
         cv2.rectangle(img, (x1, y1), (x2, y2), color, lw)
-        label = f"{(names or {}).get(c, c)} {d[-2]:.2f}"
+        if not show_labels:
+            continue
+        label = f"{(names or {}).get(c, c)}"
+        if show_conf:
+            label += f" {d[-2]:.2f}"
         if is_track:
             label = f"id:{int(d[4])} " + label
         tf = max(lw - 1, 1)
