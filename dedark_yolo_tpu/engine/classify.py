@@ -96,9 +96,7 @@ class ClassificationTrainer(BaseTrainer):
             self.args.imgsz = 224
 
     def get_model(self):
-        model = DetectionModel(
-            model_yaml_load(self.args.model or self.default_model),
-            nc=self.data["nc"])
+        model = DetectionModel(self.model_cfg_dict(), nc=self.data["nc"])
         assert model.task == "classify", "model yaml lacks a Classify head"
         return model
 

@@ -27,6 +27,7 @@ class YOLO:
         self.batch_stats = None
         self.ckpt_path = None
         self.metrics = None
+        self._user_callbacks = {}
         if isinstance(model, (list, tuple)):
             # model ensemble: every member forwards and decoded candidates are
             # concatenated before NMS (reference attempt_load_weights/Ensemble,
@@ -81,7 +82,11 @@ class YOLO:
                                   any(k.startswith("ema_bs/") for k in flat)) \
             else "batch_stats"
         self.batch_stats = restore_tree(flat, bs_section, example["batch_stats"])
-        # carry forward training args like the reference (model.py:129-133)
+        # carry forward training args like the reference (model.py:129-133);
+        # 'model' points at the checkpoint so a later .train() builds the
+        # checkpoint's architecture (and warm-starts from it), not the
+        # default yaml
+        self.overrides["model"] = str(ckpt_path)
         for k in ("imgsz", "data", "single_cls", "contrast_mode"):
             if k in train_args:
                 self.overrides[k] = train_args[k]
@@ -138,6 +143,15 @@ class YOLO:
         else:
             from .trainer import DetectionTrainer
             trainer = DetectionTrainer(overrides)
+        # fine-tune from held checkpoint weights (reference model.py:348-350:
+        # trainer.get_model(weights=self.model when loaded from .pt))
+        if getattr(self, "params", None) is not None and \
+                not overrides.get("resume"):
+            trainer.init_state = (self.params, self.batch_stats)
+        # user callbacks registered via add_callback (reference
+        # model.py:399-401 + trainer.add_callback)
+        for ev, fns in self._user_callbacks.items():
+            trainer.callbacks.setdefault(ev, []).extend(fns)
         self.trainer = trainer
         metrics = trainer.train()
         # reload best like the reference (model.py:352-358)
@@ -372,6 +386,76 @@ class YOLO:
     @property
     def names(self):
         return getattr(self.model, "names", {})
+
+    @property
+    def device(self):
+        """First accelerator device string (reference model.py:389-392)."""
+        import jax
+        try:
+            return str(jax.devices()[0])
+        except Exception:
+            return "cpu"
+
+    @property
+    def transforms(self):
+        """Inference transforms attached to a checkpoint (reference
+        model.py:394-397); this framework letterboxes in the predictor, so
+        there is never a checkpoint-carried transform."""
+        return None
+
+    def load(self, weights):
+        """Transfer weights from a checkpoint into the CURRENT architecture
+        by path+shape intersection (reference model.py:162-171 load ->
+        BaseModel.load intersect_dicts) — head leaves with a different nc
+        stay freshly initialized."""
+        from ..utils.checkpoint import transfer_tree
+        self._ensure_params()
+        other = YOLO(str(weights))
+        self.params, n_p, t_p = transfer_tree(other.params, self.params)
+        self.batch_stats, n_b, t_b = transfer_tree(other.batch_stats,
+                                                   self.batch_stats)
+        LOGGER.info(f"transferred {n_p + n_b}/{t_p + t_b} items from "
+                    f"{weights}")
+        return self
+
+    def reset_weights(self):
+        """Re-initialize all parameters in place (reference model.py:149-160;
+        there: reset_parameters per module + requires_grad, here: a fresh
+        PRNG init of the same graph)."""
+        import jax
+        imgsz = int(self.overrides.get("imgsz", 640))
+        v = self.model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+        self.params, self.batch_stats = v["params"], v["batch_stats"]
+        return self
+
+    def to(self, device):
+        """Pin subsequent work to a platform ('cpu'/'tpu'/'axon'...) by
+        setting the `device` override the engines consume (reference
+        model.py:360-368 .to(device); XLA owns placement, so this selects
+        WHICH devices the mesh/jit use rather than moving tensors eagerly)."""
+        self.overrides["device"] = str(device)
+        return self
+
+    def add_callback(self, event: str, func):
+        """Register a trainer-bus callback (reference model.py:399-401);
+        applied to every trainer this facade constructs."""
+        self._user_callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str):
+        """Clear user callbacks for one event (reference model.py:403-405)."""
+        self._user_callbacks[event] = []
+
+    def tune(self, data=None, **kwargs):
+        """Hyperparameter evolution on this model's architecture (reference
+        model.py:370-382 run_ray_tune; here the built-in evolve tuner).
+        Returns (best_cfg, results-sorted-by-fitness)."""
+        from ..utils.tuner import run_tune
+        overrides = {**self.overrides, **kwargs}
+        model_yaml = overrides.pop("model", None) or self.model_yaml
+        data = data or overrides.pop("data", None)
+        assert data, "tune() needs data=<dataset yaml>"
+        return run_tune(model_yaml, data, **{
+            k: v for k, v in overrides.items() if k != "mode"})
 
     def info(self):
         self._ensure_params()

@@ -52,9 +52,7 @@ class PoseTrainer(BaseTrainer):
                    "metrics/mAP50(P)", "metrics/mAP50-95(P)")
 
     def get_model(self):
-        model = DetectionModel(
-            model_yaml_load(self.args.model or self.default_model),
-            nc=self.data["nc"])
+        model = DetectionModel(self.model_cfg_dict(), nc=self.data["nc"])
         assert model.task == "pose", "model yaml lacks a Pose head"
         self.kpt_shape = model_kpt_shape(model)
         return model

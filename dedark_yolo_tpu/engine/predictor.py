@@ -228,8 +228,12 @@ class DetectionPredictor:
 
     def stream_inference(self, source):
         a = self.args
-        from ..utils.checks import check_imgsz
+        from ..utils.checks import check_imgsz, check_imshow
         a.imgsz = check_imgsz(a.imgsz, stride=32)
+        if a.show:
+            # disable (with a warning) on headless hosts rather than crash
+            # mid-stream (reference predictor.py:94-95)
+            a.show = check_imshow(warn=True)
         if self._step is None:
             self._step = self._make_step()
         imgsz = a.imgsz if isinstance(a.imgsz, int) else a.imgsz[0]
@@ -257,7 +261,14 @@ class DetectionPredictor:
                 while len(buf_imgs) < batch_size:
                     buf_imgs.append(np.zeros_like(buf_imgs[0]))
                 arr = np.stack(buf_imgs)
-            out = self._step(tuple(self.members), jnp.asarray(arr))
+            # `device:`/YOLO.to() pins execution (uncommitted inputs follow
+            # the default device; e.g. device='cpu' runs predict off-chip)
+            import contextlib
+            dev_ctx = (jax.default_device(jax.devices(a.device)[0])
+                       if getattr(a, "device", None) else
+                       contextlib.nullcontext())
+            with dev_ctx:
+                out = self._step(tuple(self.members), jnp.asarray(arr))
             # letterbox+upload+dispatch time; the readback block is added in
             # demux — NOT wall time between the two, which under pipelining
             # would count the next batch's host work as inference
@@ -297,7 +308,8 @@ class DetectionPredictor:
                 # video-frame metadata (frame_idx, fps, total) for consumers
                 # that save after this stream (track mode muxes its own mp4)
                 res.source_meta = metas[i]
-                if a.save or a.save_txt or a.save_crop or a.save_enhanced:
+                if a.save or a.save_txt or a.save_crop or a.save_enhanced \
+                        or a.show:
                     self._write(res, metas[i])
                 yield res
 
@@ -337,6 +349,12 @@ class DetectionPredictor:
                      "boxes": getattr(a, "boxes", True),
                      "conf": getattr(a, "show_conf", True),
                      "labels": getattr(a, "show_labels", True)}
+        if a.show:
+            # display window (reference predictor.py:346-354 show); the flag
+            # was already gated by check_imshow at stream start
+            import cv2 as _cv2
+            _cv2.imshow(str(res.path), res.plot(**plot_args)[..., ::-1])
+            _cv2.waitKey(1 if meta is not None else 500)
         if meta is not None and self.args.save:
             # video frame: mux annotated frames (predictor.py:356-377 equivalent)
             _, fps, _ = meta

@@ -12,7 +12,35 @@ from pathlib import Path
 import numpy as np
 
 
-class Boxes:
+class NumpyTensorAPI:
+    """Device-move shims from the reference BaseTensor (results.py:41-55).
+    Everything here is ALREADY host numpy (results are built after the
+    device readback), so cpu()/numpy()/to() are identity — they exist so
+    reference-style call chains like `r.boxes.cpu().numpy()` keep working."""
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+    def cuda(self):
+        raise NotImplementedError(
+            "cuda() has no meaning in this TPU-native framework; results "
+            "are host numpy arrays")
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def __getitem__(self, idx):
+        return type(self)(self.data[idx], self.orig_shape)
+
+
+class Boxes(NumpyTensorAPI):
     """(n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels, or
     (n, 7) [x1, y1, x2, y2, track_id, conf, cls] after `model.track()`
     (reference Boxes carries the same optional id column)."""
@@ -63,6 +91,13 @@ class Boxes:
         h, w = self.orig_shape
         return self.xywh / np.asarray([w, h, w, h], np.float32)
 
+    @property
+    def boxes(self):
+        """Deprecated alias of .data (reference results.py:450-455)."""
+        from ..utils import LOGGER
+        LOGGER.warning("'Boxes.boxes' is deprecated — use 'Boxes.data'")
+        return self.data
+
 
 class Results:
     def __init__(self, orig_img, path, names, boxes=None, speed=None,
@@ -82,8 +117,62 @@ class Results:
         self.speed = speed or {}
         self.enhanced_img = enhanced_img    # optional lowlight_recovery output
 
+    _keys = ("boxes", "masks", "probs", "keypoints")
+
     def __len__(self):
         return len(self.boxes)
+
+    @property
+    def keys(self):
+        """Non-empty component names (reference results.py:161-164)."""
+        return [k for k in self._keys if getattr(self, k) is not None]
+
+    def new(self):
+        """Empty Results with the same image/path/names (results.py:157-159)."""
+        return Results(orig_img=self.orig_img, path=self.path, names=self.names)
+
+    def __getitem__(self, idx):
+        """Index detections across every component (results.py:107-112)."""
+        r = self.new()
+        for k in self.keys:
+            if k == "probs":
+                r.probs = self.probs
+                continue
+            comp = getattr(self, k)
+            setattr(r, k, comp[idx])
+        r.speed = self.speed
+        return r
+
+    def update(self, boxes=None, masks=None, probs=None):
+        """Replace components in place (reference results.py:114-122)."""
+        from .results_extra import Masks
+        if boxes is not None:
+            self.boxes = Boxes(boxes, self.orig_shape)
+        if masks is not None:
+            self.masks = Masks(masks, self.orig_shape)
+        if probs is not None:
+            self.probs = probs
+
+    def verbose(self):
+        """Per-image log string, '4 persons, 1 bus, ' style (results.py:
+        258-273)."""
+        s = ""
+        if self.probs is not None:
+            return ", ".join(f"{self.names.get(int(j), j)} "
+                             f"{self.probs.data[j]:.2f}"
+                             for j in self.probs.top5) + ", "
+        if len(self) == 0:
+            return "(no detections), "
+        cls = self.boxes.cls.astype(int)
+        for c in sorted(set(cls.tolist())):
+            n = int((cls == c).sum())
+            s += f"{n} {self.names.get(c, c)}{'s' * (n > 1)}, "
+        return s
+
+    def pandas(self):
+        from ..utils import LOGGER
+        LOGGER.warning("'Results.pandas' is not implemented (reference "
+                       "results.py:330-332 stub)")
 
     def plot(self, line_width=None, boxes=True, conf=True, labels=True,
              **kwargs):

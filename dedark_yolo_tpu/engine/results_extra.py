@@ -6,8 +6,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from .results import NumpyTensorAPI
 
-class Masks:
+
+class Masks(NumpyTensorAPI):
     """(n, mh, mw) binary instance masks in proto space + orig shape scaling."""
 
     def __init__(self, data: np.ndarray, orig_shape):
@@ -16,6 +18,21 @@ class Masks:
 
     def __len__(self):
         return len(self.data)
+
+    @property
+    def xyn(self):
+        """Per-instance contours normalized to [0, 1] (reference
+        results.py:494-500)."""
+        h, w = self.orig_shape
+        return [c / np.asarray([w, h], np.float32) for c in self.xy]
+
+    @property
+    def segments(self):
+        """Deprecated alias of xyn (reference results.py:486-492)."""
+        from ..utils import LOGGER
+        LOGGER.warning("'Masks.segments' is deprecated — use 'Masks.xyn' "
+                       "(normalized) or 'Masks.xy' (pixels)")
+        return self.xyn
 
     @property
     def xy(self):
@@ -43,6 +60,16 @@ class Probs:
         self.data = np.asarray(data).reshape(-1)
         self.names = names or {}
 
+    # identity device-move shims (host numpy; see NumpyTensorAPI)
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
     @property
     def top1(self):
         return int(np.argmax(self.data))
@@ -60,7 +87,7 @@ class Probs:
         return self.data[self.top5]
 
 
-class Keypoints:
+class Keypoints(NumpyTensorAPI):
     """(n, nk, 3) keypoints [x, y, visibility] in original-image pixels."""
 
     def __init__(self, data: np.ndarray, orig_shape):

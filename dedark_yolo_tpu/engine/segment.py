@@ -37,9 +37,7 @@ class SegmentationTrainer(BaseTrainer):
                    "metrics/mAP50(M)", "metrics/mAP50-95(M)")
 
     def get_model(self):
-        model = DetectionModel(
-            model_yaml_load(self.args.model or self.default_model),
-            nc=self.data["nc"])
+        model = DetectionModel(self.model_cfg_dict(), nc=self.data["nc"])
         assert model.task == "segment", "model yaml lacks a Segment head"
         return model
 

@@ -94,7 +94,52 @@ class BaseTrainer:
         self.best_fitness = 0.0
         self.epoch = 0
         self.metrics = {}
+        # warm-start weights: set by YOLO.train() when the facade holds a
+        # loaded checkpoint (reference model.py:348-350 passes the live model
+        # into trainer.get_model), or loaded from the `pretrained` path arg
+        # (reference cfg/__init__.py:397-398)
+        self.init_state = None
+        self.transferred = None  # (n, total) after a warm start
         self.data = self.check_data(self.args.data) if self.args.data else None
+
+    def _warm_start(self, params, batch_stats):
+        """Fine-tune initialization: overlay checkpoint weights onto the
+        freshly built model by path+shape intersection (reference
+        intersect_dicts transfer, tasks.py:168-178 / model.py:348-350).
+        Sources, in precedence order: init_state (facade-held weights from
+        YOLO('ckpt.npz').train()), then a str `pretrained` path. Resume runs
+        skip this — _resume restores the exact state later."""
+        a = self.args
+        if a.resume:
+            return params, batch_stats
+        src = self.init_state
+        if src is None and isinstance(getattr(a, "pretrained", None), str) \
+                and a.pretrained:
+            from ..utils.checkpoint import load_checkpoint, restore_tree
+            meta, flat = load_checkpoint(a.pretrained)
+            sec = "ema" if any(k.startswith("ema/") for k in flat) else "params"
+
+            def tree_of(prefix):
+                out = {}
+                for k, v in flat.items():
+                    if k.startswith(prefix + "/"):
+                        node = out
+                        parts = k[len(prefix) + 1:].split("/")
+                        for p in parts[:-1]:
+                            node = node.setdefault(p, {})
+                        node[parts[-1]] = v
+                return out
+
+            src = (tree_of(sec), tree_of("batch_stats"))
+        if src is None:
+            return params, batch_stats
+        from ..utils.checkpoint import transfer_tree
+        params, n_p, t_p = transfer_tree(src[0], params)
+        batch_stats, n_b, t_b = transfer_tree(src[1], batch_stats)
+        self.transferred = (n_p + n_b, t_p + t_b)
+        LOGGER.info(f"transferred {n_p + n_b}/{t_p + t_b} items from "
+                    "pretrained weights")
+        return params, batch_stats
 
     def _get_save_dir(self):
         from ..utils import increment_dir
@@ -112,9 +157,25 @@ class BaseTrainer:
         from ..utils.checks import check_imgsz
         self.args.imgsz = check_imgsz(self.args.imgsz, stride=32)
 
+    def model_cfg_dict(self):
+        """Resolve args.model into an architecture dict. A .npz checkpoint
+        spec (CLI `train model=last.npz`, or YOLO('ckpt.npz').train())
+        contributes BOTH its saved model yaml and — unless weights were
+        already supplied or this is a resume — its weights as the
+        warm-start source (reference `yolo train model=weights.pt` flow)."""
+        spec = str(self.args.model or self.default_model)
+        if spec.endswith(".npz"):
+            from ..utils.checkpoint import load_checkpoint
+            meta, _ = load_checkpoint(spec)
+            if self.init_state is None and not self.args.resume and \
+                    not isinstance(getattr(self.args, "pretrained", None),
+                                   str):
+                self.args.pretrained = spec
+            return meta["model_yaml"]
+        return model_yaml_load(spec)
+
     def get_model(self):
-        yaml_path = self.args.model or self.default_model
-        d = model_yaml_load(yaml_path)
+        d = self.model_cfg_dict()
         return DetectionModel(d, nc=self.data["nc"],
                               contrast_mode=getattr(self.args, "contrast_mode",
                                                     "channel"))
@@ -242,6 +303,7 @@ class BaseTrainer:
         rng = jax.random.PRNGKey(a.seed)
         variables = model.init(rng, imgsz=a.imgsz, batch=self.model_init_batch())
         params, batch_stats = variables["params"], variables["batch_stats"]
+        params, batch_stats = self._warm_start(params, batch_stats)
 
         if a.batch < 0:
             a.batch = self._autobatch(model, params, batch_stats)
@@ -250,8 +312,11 @@ class BaseTrainer:
             mesh = make_mesh(shape=tuple(a.mesh_shape),
                              axes=tuple(a.mesh_axes or ("data",)))
         else:
-            # use the largest device count that divides the global batch
-            devs = jax.devices()
+            # use the largest device count that divides the global batch;
+            # `device:` (or YOLO.to()) selects WHICH platform's devices the
+            # mesh is built from (e.g. device='cpu' to debug-train off-chip)
+            devs = jax.devices(a.device) if getattr(a, "device", None) \
+                else jax.devices()
             n = len(devs)
             while n > 1 and a.batch % n != 0:
                 n -= 1

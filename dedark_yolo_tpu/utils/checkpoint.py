@@ -61,6 +61,33 @@ def load_checkpoint(path):
     return meta, flat
 
 
+def transfer_tree(src_tree, dst_tree):
+    """Copy leaves from src into dst wherever the path exists AND the shape
+    matches; return (merged_tree, n_transferred, n_total). The pytree
+    analogue of the reference's intersect_dicts weight transfer
+    (torch_utils.py intersect_dicts + BaseModel.load, tasks.py:168-178):
+    fine-tuning on a dataset with a different nc keeps every backbone/neck
+    weight and re-initializes only the mismatched head leaves."""
+    src_flat = {tuple(str(getattr(p, "key", getattr(p, "idx", p)))
+                      for p in path): leaf
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(src_tree)[0]}
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(dst_tree)[0]
+    out, n = [], 0
+    for path, dst_leaf in leaves_with_path:
+        key = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        src_leaf = src_flat.get(key)
+        if src_leaf is not None and \
+                tuple(src_leaf.shape) == tuple(dst_leaf.shape):
+            out.append(np.asarray(src_leaf, dtype=dst_leaf.dtype))
+            n += 1
+        else:
+            out.append(dst_leaf)
+    merged = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(dst_tree), out)
+    return merged, n, len(leaves_with_path)
+
+
 def restore_tree(flat, prefix, example_tree):
     """Rebuild a pytree with example_tree's structure from flat npz keys."""
     leaves_with_path = jax.tree_util.tree_flatten_with_path(example_tree)[0]

@@ -32,6 +32,30 @@ def check_imgsz(imgsz, stride=32, min_dim=1, floor=0):
     return out
 
 
+def check_imshow(warn=False):
+    """True when the environment can open cv2 display windows (reference
+    checks.py:352-364). Probed in a SUBPROCESS: a GUI-less cv2/Qt stack can
+    hard-abort the process on imshow (fatal, not a catchable cv2.error), so
+    an in-process try/except — the reference's approach — would kill the
+    caller exactly when the answer is 'no'."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import cv2, numpy as np;"
+             "cv2.imshow('t', np.zeros((1, 1, 3), np.uint8));"
+             "cv2.waitKey(1); cv2.destroyAllWindows(); cv2.waitKey(1)"],
+            capture_output=True, timeout=20)
+        ok = r.returncode == 0
+    except Exception:
+        ok = False
+    if not ok and warn:
+        LOGGER.warning("environment does not support cv2.imshow() — "
+                       "show=True disabled")
+    return ok
+
+
 def check_bf16(model, params, batch_stats, imgsz=64, rtol=0.05):
     """Compare an fp32 vs bf16 forward; returns True if bf16 is numerically safe
     (mirrors the reference's check_amp fp32-vs-AMP comparison)."""

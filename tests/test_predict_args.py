@@ -88,6 +88,127 @@ def test_save_hybrid_autolabelling(tmp_path):
     assert all(0.0 <= float(x) <= 1.0 for x in vals[1:5])
 
 
+def test_results_api_surface():
+    """Reference Results API: keys/new/__getitem__/update/verbose + the
+    BaseTensor device-move shims (results.py:41-164, 258-273)."""
+    img = np.full((80, 100, 3), 120, np.uint8)
+    boxes = np.asarray([[10, 10, 60, 50, 0.9, 0],
+                        [20, 20, 70, 60, 0.8, 1],
+                        [30, 30, 80, 70, 0.7, 1]], np.float32)
+    r = Results(orig_img=img, path="x.jpg", names={0: "cat", 1: "dog"},
+                boxes=boxes)
+    assert r.keys == ["boxes"]
+    assert len(r.new()) == 0
+    sub = r[:2]
+    assert len(sub) == 2 and sub.path == "x.jpg"
+    assert r.verbose() == "1 cat, 2 dogs, "
+    assert r.new().verbose() == "(no detections), "
+    r2 = r.new()
+    r2.update(boxes=boxes[:1])
+    assert len(r2) == 1
+    # device-move shims are identity on host numpy
+    assert r.boxes.cpu() is r.boxes.numpy() is r.boxes.to("x") is r.boxes
+    assert r.boxes.shape == (3, 6)
+    np.testing.assert_array_equal(r.boxes[1].data, boxes[1:2])
+    with pytest.raises(NotImplementedError):
+        r.boxes.cuda()
+    r.pandas()  # warn-stub like the reference
+
+
+def test_masks_xyn_and_segments_alias():
+    from dedark_yolo_tpu.engine.results_extra import Masks
+    m = np.zeros((1, 8, 8), bool)
+    m[0, 2:6, 2:6] = True
+    masks = Masks(m, (80, 100))
+    xy = masks.xy[0]
+    xyn = masks.xyn[0]
+    assert xy.shape[1] == 2 and len(xy) == len(xyn)
+    assert xyn[:, 0].max() <= 1.0 and xyn[:, 1].max() <= 1.0
+    np.testing.assert_allclose(masks.segments[0], xyn)
+
+
+def test_check_imshow_headless():
+    from dedark_yolo_tpu.utils.checks import check_imshow
+    assert check_imshow(warn=False) in (True, False)  # must not raise
+
+
+@pytest.mark.slow
+def test_warm_start_finetune(tmp_path):
+    """Fine-tuning flows (reference model.py:348-350 + cfg/__init__.py:397):
+    YOLO('ckpt.npz').train() and pretrained=<path> overlay checkpoint weights
+    by path+shape intersection; a different nc transfers everything except
+    the mismatched head leaves."""
+    import jax
+    from synth import make_synth_dataset
+    from dedark_yolo_tpu import YOLO
+
+    yaml_path = make_synth_dataset(tmp_path / "ds", n_train=8, n_val=4)
+    common = dict(data=str(yaml_path), epochs=1, imgsz=64, batch=4,
+                  max_boxes=16, max_nms=128, max_det=10, plots=False,
+                  val=False, workers=0, warmup_epochs=0.0)
+    m = YOLO(TINY)
+    fired = []
+    m.add_callback("on_train_epoch_end", lambda tr: fired.append(tr.epoch))
+    m.train(project=str(tmp_path), name="base", **common)
+    assert fired == [0]  # user callback rode the trainer bus
+    best = tmp_path / "base" / "weights" / "best.npz"
+    ckpt = best if best.is_file() else tmp_path / "base" / "weights" / "last.npz"
+
+    # same architecture: every leaf transfers
+    m2 = YOLO(str(ckpt))
+    m2.train(project=str(tmp_path), name="ft", **common)
+    n, total = m2.trainer.transferred
+    assert n == total > 0
+
+    # pretrained path arg with a DIFFERENT head (nc=3 ckpt -> nc override
+    # comes from data, so force a head mismatch via single_cls dataset nc=1
+    # is not available here; instead train a 2-class variant)
+    import yaml as _yaml
+    d2 = _yaml.safe_load(Path(TINY).read_text())
+    two = tmp_path / "two.yaml"
+    two.write_text(_yaml.safe_dump(d2))
+    data2 = _yaml.safe_load(Path(yaml_path).read_text())
+    data2["nc"] = 5
+    data2["names"] = {i: str(i) for i in range(5)}
+    yp2 = tmp_path / "data5.yaml"
+    yp2.write_text(_yaml.safe_dump(data2))
+    m3 = YOLO(str(two))
+    m3.train(project=str(tmp_path), name="ft5", pretrained=str(ckpt),
+             **{**common, "data": str(yp2)})
+    n3, total3 = m3.trainer.transferred
+    assert 0 < n3 < total3  # head cls leaves skipped, backbone transferred
+
+    # facade .load(): intersect transfer into a live model, and
+    # .reset_weights(): fresh init wipes the transfer
+    m4 = YOLO(TINY)
+    m4.overrides["imgsz"] = 64
+    m4.load(str(ckpt))
+    import jax.tree_util as jtu
+    loaded = jtu.tree_leaves(m4.params)[0].copy()
+    m4.reset_weights()
+    fresh = jtu.tree_leaves(m4.params)[0]
+    src = YOLO(str(ckpt))
+    np.testing.assert_array_equal(loaded, jtu.tree_leaves(src.params)[0])
+    assert (np.asarray(fresh) != loaded).any()
+    assert m4.device  # property resolves
+    assert m4.transforms is None
+
+
+@pytest.mark.slow
+def test_predict_show_headless_no_crash(tmp_path):
+    """show=True on a headless host warns, disables, and still streams."""
+    import cv2
+    from dedark_yolo_tpu import YOLO
+    src = tmp_path / "imgs"
+    src.mkdir()
+    cv2.imwrite(str(src / "a.jpg"),
+                np.full((64, 64, 3), 100, np.uint8))
+    m = YOLO(TINY)
+    res = m.predict(str(src), imgsz=64, conf=0.0, max_det=5, max_nms=64,
+                    show=True, save=False)
+    assert len(res) == 1
+
+
 @pytest.mark.slow
 def test_retina_masks_predict(tmp_path):
     """retina_masks=True produces native-resolution masks from upsampled
