@@ -30,6 +30,7 @@ def _tribe_inputs(s=32, b=2):
             for sh in shapes]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("level", [0, 1, 2])
 def test_tribe_commute_matches_naive(level):
     xs = _tribe_inputs()
@@ -55,6 +56,7 @@ def _assert_leafwise_close(ta, tb, rel=1e-4):
         assert float(np.max(np.abs(a - b))) <= rel * scale
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("level", [1, 2])
 def test_tribe_commute_train_mode_and_grads(level):
     xs = _tribe_inputs(s=16)

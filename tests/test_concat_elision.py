@@ -44,6 +44,7 @@ def test_param_tree_identical(yaml_path):
     assert _tree_shapes(on) == _tree_shapes(off)
 
 
+@pytest.mark.slow
 def test_forward_equivalence_tiny():
     m = _build("tests/tiny_model.yaml")
     x = np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
@@ -59,6 +60,7 @@ def test_forward_equivalence_tiny():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gradient_equivalence_tiny():
     """Training path: grads through the split-K contraction match the fused
     conv within accumulation rounding."""

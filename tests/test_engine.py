@@ -21,7 +21,11 @@ def trained(synth_yaml, tmp_path_factory):
     from dedark_yolo_tpu import YOLO
     run_dir = tmp_path_factory.mktemp("runs")
     model = YOLO(TINY)
-    metrics = model.train(data=synth_yaml, epochs=2, imgsz=96, batch=8, mesh_shape=[2],
+    # Fast-tier budget (tests/README): single-device mesh — the multi-device
+    # train paths are covered by the slow tier (test_parallel.py, the 2-D
+    # mesh test below); GSPMD partitioning here roughly doubles compile time
+    # on the 1-core host for no extra fast-tier coverage.
+    metrics = model.train(data=synth_yaml, epochs=2, imgsz=96, batch=8, mesh_shape=[1],
                           workers=2, project=str(run_dir), name="t",
                           max_boxes=16, max_nms=256, max_det=20,
                           warmup_epochs=0.5, plots=False, val=True)

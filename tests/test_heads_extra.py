@@ -26,6 +26,7 @@ def test_segment_head_shapes():
     assert protos.shape == (1, 32, 32, 32)  # 2x upsample of P3 via Proto
 
 
+@pytest.mark.slow
 def test_pose_head_shapes_and_decode():
     xs = _feats()
     head = Pose(nc=1, kpt_shape=(17, 3))

@@ -37,6 +37,7 @@ def _count_8col_dots(hlo, rows):
     return len(re.findall(r"f32\[%d,8\]\S* dot\(" % rows, hlo))
 
 
+@pytest.mark.slow
 def test_asff_commute_moves_compress_convs_off_full_res():
     hlo_on, s = _asff2_hlo(True)
     hlo_off, _ = _asff2_hlo(False)

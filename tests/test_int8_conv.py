@@ -26,6 +26,7 @@ def test_int8_conv_bit_parity():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_int8_conv_tap_formulations_agree():
     import jax.numpy as jnp
     from dedark_yolo_tpu.ops.pallas.int8_conv import (

@@ -65,6 +65,7 @@ def test_vmem_gates():
     assert not _fits_usm(2048, 2048)  # falls back to pure JAX
 
 
+@pytest.mark.slow
 def test_fused_enhance_diff_gradients_match_xla():
     """Custom-VJP pallas enhance: value from the kernel, grads identical to the
     XLA chain (training path uses this, VERDICT round-1 item on pallas-train)."""

@@ -87,6 +87,7 @@ def test_pose_loss_runs_and_grads():
         assert np.isfinite(np.asarray(gi)).all()
 
 
+@pytest.mark.slow
 def test_seg_loss_no_fg_is_finite():
     b, nm = 2, 8
     raw, coefs = _maps(extra=nm, key=3)

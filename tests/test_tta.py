@@ -14,6 +14,10 @@ from dedark_yolo_tpu.nn.graph import DetectionModel
 
 TINY = str(Path(__file__).parent / "tiny_model.yaml")
 
+# Every test here compiles the 3-branch tta_eval graph (3 forwards of the
+# tiny model) — >tiny per the tests/README contract, so the module is slow.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():
