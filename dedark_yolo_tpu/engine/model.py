@@ -389,12 +389,15 @@ class YOLO:
 
     @property
     def device(self):
-        """First accelerator device string (reference model.py:389-392)."""
+        """Device the engines will actually run on (reference
+        model.py:389-392): honors a `.to(device)` / device= override,
+        else the first default device."""
         import jax
+        dev = self.overrides.get("device")
         try:
-            return str(jax.devices()[0])
+            return str(jax.devices(dev)[0] if dev else jax.devices()[0])
         except Exception:
-            return "cpu"
+            return str(dev) if dev else "cpu"
 
     @property
     def transforms(self):
@@ -452,7 +455,10 @@ class YOLO:
         from ..utils.tuner import run_tune
         overrides = {**self.overrides, **kwargs}
         model_yaml = overrides.pop("model", None) or self.model_yaml
+        # always pop 'data' so a checkpoint-carried override can't reach
+        # run_tune twice (once positionally, once via **overrides)
         data = data or overrides.pop("data", None)
+        overrides.pop("data", None)
         assert data, "tune() needs data=<dataset yaml>"
         return run_tune(model_yaml, data, **{
             k: v for k, v in overrides.items() if k != "mode"})

@@ -115,9 +115,14 @@ class BaseTrainer:
         src = self.init_state
         if src is None and isinstance(getattr(a, "pretrained", None), str) \
                 and a.pretrained:
-            from ..utils.checkpoint import load_checkpoint, restore_tree
-            meta, flat = load_checkpoint(a.pretrained)
+            meta, flat = self._load_ckpt_cached(a.pretrained)
             sec = "ema" if any(k.startswith("ema/") for k in flat) else "params"
+            # batch_stats must come from the SAME averaging stream as the
+            # weights: ema weights pair with ema_bs (like _load_checkpoint
+            # and resume), never with the raw section
+            bs_sec = ("ema_bs" if sec == "ema" and
+                      any(k.startswith("ema_bs/") for k in flat)
+                      else "batch_stats")
 
             def tree_of(prefix):
                 out = {}
@@ -130,7 +135,7 @@ class BaseTrainer:
                         node[parts[-1]] = v
                 return out
 
-            src = (tree_of(sec), tree_of("batch_stats"))
+            src = (tree_of(sec), tree_of(bs_sec))
         if src is None:
             return params, batch_stats
         from ..utils.checkpoint import transfer_tree
@@ -157,6 +162,17 @@ class BaseTrainer:
         from ..utils.checks import check_imgsz
         self.args.imgsz = check_imgsz(self.args.imgsz, stride=32)
 
+    def _load_ckpt_cached(self, path):
+        """Load a checkpoint once per path: model_cfg_dict (yaml) and
+        _warm_start (weights) both read the same .npz at startup — caching
+        avoids decompressing every array twice for large checkpoints."""
+        cache = getattr(self, "_ckpt_cache", None)
+        if cache is None or cache[0] != str(path):
+            from ..utils.checkpoint import load_checkpoint
+            meta, flat = load_checkpoint(path)
+            self._ckpt_cache = cache = (str(path), meta, flat)
+        return cache[1], cache[2]
+
     def model_cfg_dict(self):
         """Resolve args.model into an architecture dict. A .npz checkpoint
         spec (CLI `train model=last.npz`, or YOLO('ckpt.npz').train())
@@ -165,8 +181,7 @@ class BaseTrainer:
         warm-start source (reference `yolo train model=weights.pt` flow)."""
         spec = str(self.args.model or self.default_model)
         if spec.endswith(".npz"):
-            from ..utils.checkpoint import load_checkpoint
-            meta, _ = load_checkpoint(spec)
+            meta, _ = self._load_ckpt_cached(spec)
             if self.init_state is None and not self.args.resume and \
                     not isinstance(getattr(self.args, "pretrained", None),
                                    str):

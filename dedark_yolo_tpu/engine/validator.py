@@ -31,7 +31,7 @@ import numpy as np
 from ..cfg import get_cfg, DEFAULT_CFG_DICT
 from ..data import YOLODataset, DataLoader, ValTransforms, check_det_dataset
 from ..losses import detection_loss
-from ..ops.boxes import scale_boxes, xywh2xyxy
+from ..ops.boxes import scale_boxes, xywh2xyxy, xyxy2xywh
 from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions, increment_dir
 
@@ -224,6 +224,8 @@ class DetectionValidator:
             batch_stats = replicate(mesh, batch_stats)
 
         jdict = []  # COCO-style detections when save_json (reference detect/val.py:221-258)
+        txt_written = set()  # stems written THIS pass: first write truncates
+        # any stale file from a previous epoch's val over the same save_dir
         orig_shapes = ds.image_shapes()   # true original (h, w) per dataset index
 
         def gen_batches():
@@ -285,13 +287,12 @@ class DetectionValidator:
                     txt_dir = self.save_dir / "labels"
                     txt_dir.mkdir(parents=True, exist_ok=True)
                     gn = np.asarray([w0, h0, w0, h0], np.float32)
-                    with open(txt_dir /
-                              f"{Path(ds.im_files[idx]).stem}.txt", "a") as f:
-                        for d in det:
-                            cx = (d[0] + d[2]) / 2 / gn[0]
-                            cy = (d[1] + d[3]) / 2 / gn[1]
-                            bw_ = (d[2] - d[0]) / gn[2]
-                            bh_ = (d[3] - d[1]) / gn[3]
+                    stem = Path(ds.im_files[idx]).stem
+                    mode = "a" if stem in txt_written else "w"
+                    txt_written.add(stem)
+                    xywh = np.asarray(xyxy2xywh(jnp.asarray(det[:, :4]))) / gn
+                    with open(txt_dir / f"{stem}.txt", mode) as f:
+                        for d, (cx, cy, bw_, bh_) in zip(det, xywh):
                             vals = [int(d[5]), cx, cy, bw_, bh_]
                             if a.save_conf:
                                 vals.append(d[4])

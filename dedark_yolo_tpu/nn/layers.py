@@ -61,8 +61,12 @@ def upsample_nearest(x, scale: int = 2):
 # Trace-time switch for channel-concat elision (split-K partial dots instead of
 # materializing concatenated activations). Parameter trees are identical either
 # way, so the same checkpoint works with the flag on or off.
-# DEDARK_ELIDE_CONCAT=0 disables it (A/B benchmarking).
-ELIDE_CONCAT = _os.environ.get("DEDARK_ELIDE_CONCAT", "1").lower() not in (
+# DEFAULT OFF: chip-timed A/B at b384 @640 bf16 measured the elided graph at
+# 524 img/s vs 734 img/s for plain concat+conv — XLA fuses the concat into
+# the consuming conv better than the split-K partial-dot formulation maps to
+# the MXU (docs/BENCHMARKS.md round-3 A/B). DEDARK_ELIDE_CONCAT=1 re-enables
+# for experiments; the HLO-structure tests pin both graph forms.
+ELIDE_CONCAT = _os.environ.get("DEDARK_ELIDE_CONCAT", "0").lower() not in (
     "0", "false", "off")
 
 

@@ -60,18 +60,24 @@ def shard_batch(mesh, batch, axis="data", spatial_axis="spatial"):
     """
     sp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(spatial_axis, 1)
 
-    def spec(x):
+    def spec(path, x):
+        # spatial sharding applies ONLY to image leaves, identified by key
+        # (a shape sniff also matches e.g. pose keypoints (B, nb, nk, 3),
+        # which would shard the instance dim and force GSPMD reshards)
+        key = str(getattr(path[-1], "key", "")) if path else ""
         x = np.asarray(x) if not hasattr(x, "shape") else x
-        if sp > 1 and getattr(x, "ndim", 0) == 4 and x.shape[1] % sp == 0:
+        if (sp > 1 and key.endswith("img") and getattr(x, "ndim", 0) == 4
+                and x.shape[1] % sp == 0):
             return NamedSharding(mesh, P(axis, spatial_axis))
         return NamedSharding(mesh, P(axis))
 
+    tmap = jax.tree_util.tree_map_with_path
     if jax.process_count() > 1:
-        def put(x):
+        def put(path, x):
             x = np.asarray(x)
-            return jax.make_array_from_process_local_data(spec(x), x)
-        return jax.tree_util.tree_map(put, batch)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec(x)), batch)
+            return jax.make_array_from_process_local_data(spec(path, x), x)
+        return tmap(put, batch)
+    return tmap(lambda path, x: jax.device_put(x, spec(path, x)), batch)
 
 
 def replicate(mesh, tree):

@@ -92,8 +92,13 @@ def test_shard_batch_2d_specs():
     batch = {"img": np.zeros((4, 64, 64, 3), np.uint8),
              "odd": np.zeros((4, 63, 63, 3), np.uint8),
              "cls": np.zeros((4, 5), np.float32),
-             "bboxes": np.zeros((4, 5, 4), np.float32)}
+             "bboxes": np.zeros((4, 5, 4), np.float32),
+             # ndim-4 NON-image leaf (pose keypoints): dim 1 is instances,
+             # not image rows — must stay batch-sharded despite divisibility
+             "keypoints": np.zeros((4, 32, 17, 3), np.float32)}
     dev = shard_batch(mesh, batch)
+    assert dev["keypoints"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), ndim=4)
     assert dev["img"].sharding.is_equivalent_to(
         NamedSharding(mesh, P("data", "spatial")), ndim=4)
     assert dev["odd"].sharding.is_equivalent_to(

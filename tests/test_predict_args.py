@@ -87,6 +87,12 @@ def test_save_hybrid_autolabelling(tmp_path):
     assert len(vals) == 6  # cls x y w h conf (save_conf=True)
     assert all(0.0 <= float(x) <= 1.0 for x in vals[1:5])
 
+    # a SECOND val pass over the same save_dir (per-epoch val during
+    # training reuses it) must overwrite, not append duplicate rows
+    DetectionValidator(args=args, save_dir=tmp_path / "val")(
+        model=model, params=v["params"], batch_stats=v["batch_stats"])
+    assert txts[0].read_text().strip().splitlines() == first
+
 
 def test_results_api_surface():
     """Reference Results API: keys/new/__getitem__/update/verbose + the
@@ -184,12 +190,15 @@ def test_warm_start_finetune(tmp_path):
     m4.overrides["imgsz"] = 64
     m4.load(str(ckpt))
     import jax.tree_util as jtu
-    loaded = jtu.tree_leaves(m4.params)[0].copy()
+    loaded = [np.asarray(x).copy() for x in jtu.tree_leaves(m4.params)]
     m4.reset_weights()
-    fresh = jtu.tree_leaves(m4.params)[0]
+    fresh = [np.asarray(x) for x in jtu.tree_leaves(m4.params)]
     src = YOLO(str(ckpt))
-    np.testing.assert_array_equal(loaded, jtu.tree_leaves(src.params)[0])
-    assert (np.asarray(fresh) != loaded).any()
+    for a, b in zip(loaded, jtu.tree_leaves(src.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # SOME leaf must differ after re-init (zero-init biases legitimately
+    # match, so compare the whole tree, not leaf 0)
+    assert any((f != l).any() for f, l in zip(fresh, loaded))
     assert m4.device  # property resolves
     assert m4.transforms is None
 
@@ -234,3 +243,68 @@ def test_retina_masks_predict(tmp_path):
         if r.masks is not None and len(r.masks):
             assert r.masks.data.shape[1:] == (100, 120)
             assert r.masks.data.dtype == bool
+
+
+def test_warm_start_pairs_ema_with_ema_bs(tmp_path):
+    """_warm_start must overlay EMA weights together with EMA batch_stats
+    (ema_bs), never with the raw batch_stats section — mirroring
+    YOLO._load_checkpoint and trainer resume."""
+    from types import SimpleNamespace
+    from dedark_yolo_tpu.engine.trainer import BaseTrainer
+    from dedark_yolo_tpu.utils.checkpoint import save_checkpoint
+
+    raw_p = {"conv": {"kernel": np.full((2, 2), 1.0, np.float32)}}
+    raw_bs = {"bn": {"mean": np.full((3,), 10.0, np.float32)}}
+    ema_p = {"conv": {"kernel": np.full((2, 2), 2.0, np.float32)}}
+    ema_bs = {"bn": {"mean": np.full((3,), 20.0, np.float32)}}
+    ckpt = tmp_path / "ck.npz"
+    save_checkpoint(ckpt, params=raw_p, batch_stats=raw_bs,
+                    ema_params=ema_p, ema_batch_stats=ema_bs)
+
+    stub = BaseTrainer.__new__(BaseTrainer)
+    stub.args = SimpleNamespace(resume=False, pretrained=str(ckpt))
+    stub.init_state = None
+    dst_p = {"conv": {"kernel": np.zeros((2, 2), np.float32)}}
+    dst_bs = {"bn": {"mean": np.zeros((3,), np.float32)}}
+    out_p, out_bs = BaseTrainer._warm_start(stub, dst_p, dst_bs)
+    np.testing.assert_array_equal(out_p["conv"]["kernel"], 2.0)
+    np.testing.assert_array_equal(out_bs["bn"]["mean"], 20.0)  # ema_bs
+
+    # checkpoint WITHOUT ema sections falls back to raw params/batch_stats
+    ckpt2 = tmp_path / "ck2.npz"
+    save_checkpoint(ckpt2, params=raw_p, batch_stats=raw_bs)
+    stub2 = BaseTrainer.__new__(BaseTrainer)
+    stub2.args = SimpleNamespace(resume=False, pretrained=str(ckpt2))
+    stub2.init_state = None
+    out_p, out_bs = BaseTrainer._warm_start(stub2, dst_p, dst_bs)
+    np.testing.assert_array_equal(out_p["conv"]["kernel"], 1.0)
+    np.testing.assert_array_equal(out_bs["bn"]["mean"], 10.0)
+
+
+def test_tune_pops_checkpoint_data_override(monkeypatch, tmp_path):
+    """tune(data=...) on a model whose overrides carry 'data' (checkpoint
+    train_args) must not pass data twice to run_tune."""
+    from dedark_yolo_tpu import YOLO
+    import dedark_yolo_tpu.utils.tuner as tuner_mod
+
+    calls = {}
+
+    def fake_run_tune(model_yaml, data, **kw):
+        calls["data"] = data
+        calls["kw"] = kw
+        return {}, []
+
+    monkeypatch.setattr(tuner_mod, "run_tune", fake_run_tune)
+    m = YOLO(TINY)
+    m.overrides["data"] = "stale_from_ckpt.yaml"
+    m.tune(data="fresh.yaml", epochs=1)
+    assert calls["data"] == "fresh.yaml"
+    assert "data" not in calls["kw"]
+
+
+def test_device_property_honors_to():
+    """YOLO.device reflects a .to(device)/device= override (reference
+    model.py:389-392 reports where the model actually runs)."""
+    from dedark_yolo_tpu import YOLO
+    m = YOLO(TINY).to("cpu")
+    assert "cpu" in m.device.lower()
