@@ -36,23 +36,54 @@ def parse_segment_label(label_path, nc):
     return out
 
 
-def polygon2mask(imgsz_hw, polygon_px, value=1, mask=None):
-    """Rasterize one pixel-space polygon (reference data/utils.py:137-160)."""
-    if mask is None:
-        mask = np.zeros(imgsz_hw, np.uint8)
-    cv2.fillPoly(mask, [np.asarray(polygon_px, np.int32)], color=value)
-    return mask
+def resample_segment(poly, n=1000):
+    """Densify a polygon to n points along its closed outline (reference
+    ops.py:533-551 resample_segments). Pure linear interpolation — the
+    geometry is unchanged, but rasterization is NOT: cv2.fillPoly int32-
+    truncates every vertex, so a 1000-point outline staircases differently
+    from the raw one. The reference resamples in its Instances constructor
+    (instance.py:202), so pixel-exact GT-mask parity requires doing the same
+    before fillPoly."""
+    s = np.concatenate([poly, poly[0:1]], axis=0).astype(np.float32)
+    x = np.linspace(0, len(s) - 1, n)
+    xp = np.arange(len(s))
+    return np.stack([np.interp(x, xp, s[:, i]) for i in range(2)], axis=1)
 
 
-def polygons2masks_overlap(imgsz_hw, polygons_px):
-    """Overlap-encoded instance mask: pixel = instance idx + 1, larger instances
-    drawn first so small ones stay visible (reference data/utils.py:168-191)."""
+def polygon2mask(imgsz_hw, polygon_px, value=1, downsample_ratio=1):
+    """Rasterize one pixel-space polygon (reference data/utils.py:137-155).
+
+    Parity detail: the reference fillPolys at FULL resolution and then
+    cv2.resize()s down by downsample_ratio — the bilinear resize antialiases
+    the boundary, which is NOT the same set of pixels as rasterizing the
+    /ratio-scaled polygon directly at low resolution. Matching it pixel-exact
+    is what lets the reference's own SegmentationValidator reproduce our mask
+    mAP on shared weights (scripts/reference_duel_tasks.py)."""
     mask = np.zeros(imgsz_hw, np.uint8)
-    areas = [cv2.contourArea(np.asarray(p, np.int32)) for p in polygons_px]
-    order = np.argsort(-np.asarray(areas))
-    for rank in order:
-        polygon2mask(imgsz_hw, polygons_px[rank], value=int(rank) + 1, mask=mask)
+    cv2.fillPoly(mask, [np.asarray(polygon_px, np.int32)], color=value)
+    if downsample_ratio != 1:
+        nh, nw = imgsz_hw[0] // downsample_ratio, imgsz_hw[1] // downsample_ratio
+        mask = cv2.resize(mask, (nw, nh))
     return mask
+
+
+def polygons2masks_overlap(imgsz_hw, polygons_px, downsample_ratio=1):
+    """Overlap-encoded instance mask at imgsz/ratio: pixel = instance idx + 1,
+    larger instances drawn first so small ones stay on top of the overlap
+    (reference data/utils.py:173-190; the reference's accumulate-and-clip is
+    equivalent to last-drawn-wins). Values keep the ORIGINAL instance index
+    (the reference re-sorts labels by area instead — same mask/class pairing
+    either way)."""
+    nh = imgsz_hw[0] // downsample_ratio
+    nw = imgsz_hw[1] // downsample_ratio
+    out = np.zeros((nh, nw), np.uint8)
+    ms = [polygon2mask(imgsz_hw, resample_segment(p), value=1,
+                       downsample_ratio=downsample_ratio)
+          for p in polygons_px]
+    areas = np.asarray([m.sum() for m in ms])
+    for idx in np.argsort(-areas):
+        out[ms[idx] > 0] = int(idx) + 1
+    return out
 
 
 class SegmentDataset:
@@ -141,8 +172,9 @@ def collate_segment(items, max_boxes=32, mask_ratio=4):
             bboxes[i, :n] = xywh[:n]
             cls[i, :n] = c[:n]
             mask_gt[i, :n] = 1.0
-            scaled = [p / mask_ratio for p in polys[:n]]
-            masks[i] = polygons2masks_overlap((mh, mw), scaled)
+            # rasterize at FULL letterbox res, resize down (reference parity)
+            masks[i] = polygons2masks_overlap((s, s), list(polys[:n]),
+                                              downsample_ratio=mask_ratio)
     return {"img": imgs, "bboxes": bboxes, "cls": cls, "mask_gt": mask_gt,
             "masks": masks}
 

@@ -222,16 +222,8 @@ class PoseValidator:
                             * (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53)
                     oks = kpt_oks(gt_k, pk_nat, area, sigmas)  # (n_gt, k)
                     oks = oks * (gt_cls[:, None] == det_nat[None, :, 5])
-                    for t_i, t in enumerate(iouv):
-                        matches = np.array(np.nonzero(oks >= t)).T
-                        if matches.shape[0]:
-                            order = oks[matches[:, 0], matches[:, 1]].argsort()[::-1]
-                            matches = matches[order]
-                            matches = matches[np.unique(matches[:, 1],
-                                                        return_index=True)[1]]
-                            matches = matches[np.unique(matches[:, 0],
-                                                        return_index=True)[1]]
-                            correct[matches[:, 1].astype(int), t_i] = True
+                    from ..utils.metrics import match_from_iou
+                    correct = match_from_iou(oks, iouv)
                 kpt_stats["tp"].append(correct)
                 kpt_stats["conf"].append(det[:, 4])
                 kpt_stats["pred_cls"].append(det[:, 5])

@@ -309,19 +309,15 @@ class SegmentationValidator:
         if n_gt == 0:
             return correct, pm
         gt = np.stack([(gt_masks_overlap == (g + 1)) for g in range(n_gt)])
-        inter = (pm[:, None] & gt[None]).sum((2, 3)).astype(np.float64)
-        union = (pm[:, None] | gt[None]).sum((2, 3)).astype(np.float64) + 1e-9
+        # (n_gt, n_pred) orientation + the shared reference match loop —
+        # dedup order (detections first) must be identical to the box branch
+        # (segment/val.py _process_batch; verified by reference_duel_tasks.py)
+        inter = (gt[:, None] & pm[None]).sum((2, 3)).astype(np.float64)
+        union = (gt[:, None] | pm[None]).sum((2, 3)).astype(np.float64) + 1e-9
         iou = inter / union
-        iou *= (gt_cls[None, :] == det[:, 5][:, None])
-        for t_i, t in enumerate(iouv):
-            matches = np.array(np.nonzero(iou >= t)).T
-            if matches.shape[0]:
-                order = iou[matches[:, 0], matches[:, 1]].argsort()[::-1]
-                matches = matches[order]
-                matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
-                matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
-                correct[matches[:, 0].astype(int), t_i] = True
-        return correct, pm
+        iou *= (gt_cls[:, None] == det[None, :, 5])
+        from ..utils.metrics import match_from_iou
+        return match_from_iou(iou, iouv), pm
 
 
 class SegmentationPredictor(DetectionPredictor):

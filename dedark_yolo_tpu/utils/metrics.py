@@ -103,19 +103,29 @@ def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls,
     import jax.numpy as jnp
 
     n_pred = len(pred_cls)
-    correct = np.zeros((n_pred, len(iouv)), dtype=bool)
     if n_pred == 0 or len(gt_cls) == 0:
-        return correct
+        return np.zeros((n_pred, len(iouv)), dtype=bool)
     iou = np.asarray(box_iou_matrix(jnp.asarray(gt_boxes), jnp.asarray(pred_boxes)))
-    correct_class = gt_cls[:, None] == pred_cls[None, :]
-    iou = iou * correct_class
+    iou = iou * (gt_cls[:, None] == pred_cls[None, :])
+    return match_from_iou(iou, iouv)
+
+
+def match_from_iou(iou, iouv=np.linspace(0.5, 0.95, 10)):
+    """Greedy TP matrix from a class-masked (n_gt, n_pred) IoU/OKS matrix.
+
+    ONE definition of the reference's match loop (detect/val.py:151-174,
+    segment/val.py _process_batch, pose/val.py _process_batch) shared by the
+    box, mask-IoU, and OKS branches. Order matters for parity: pairs sort by
+    IoU descending, dedup by DETECTION first, then by ground truth — a
+    GT-first dedup gives different assignments whenever one GT covers two
+    detections that both also cover another GT."""
+    n_pred = iou.shape[1]
+    correct = np.zeros((n_pred, len(iouv)), dtype=bool)
     for i, t in enumerate(iouv):
-        matches = np.nonzero(iou >= t)
-        matches = np.array(matches).T
+        matches = np.array(np.nonzero(iou >= t)).T            # (k, [gt, pred])
         if matches.shape[0]:
             m_iou = iou[matches[:, 0], matches[:, 1]]
-            order = m_iou.argsort()[::-1]
-            matches = matches[order]
+            matches = matches[m_iou.argsort()[::-1]]
             matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
             matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
             correct[matches[:, 1].astype(int), i] = True

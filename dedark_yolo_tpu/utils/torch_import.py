@@ -188,9 +188,14 @@ def convert_state_dict(torch_sd: dict, model, example_variables):
             if leaf == "kernel":
                 wt = torch_sd[f"{tkey}.weight"]
                 if wt.ndim == 4:
-                    # ConvTranspose2d stores (I, O, kh, kw) vs Conv2d (O, I, kh, kw)
+                    # ConvTranspose2d stores (I, O, kh, kw) vs Conv2d (O, I, kh, kw),
+                    # AND torch's op is the conv gradient (kernel spatially
+                    # mirrored) while flax ConvTranspose (transpose_kernel=False)
+                    # applies the kernel unflipped in a fractionally-strided
+                    # conv — so the spatial axes must be reversed too
+                    # (verified numerically vs torch in test_torch_import.py)
                     if any(k.startswith("ConvTranspose") for k in keys):
-                        arr = np.transpose(wt, (2, 3, 0, 1))
+                        arr = np.transpose(wt, (2, 3, 0, 1))[::-1, ::-1]
                     else:
                         arr = _t_conv(wt)
                 else:
@@ -246,7 +251,10 @@ def export_state_dict(variables, model):
                 if leaf_name == "kernel":
                     if arr.ndim == 4:
                         if any(k.startswith("ConvTranspose") for k in keys):
-                            sd[f"{tkey}.weight"] = np.transpose(arr, (2, 3, 0, 1))
+                            # inverse of the import mapping: un-flip the
+                            # spatial axes, then back to torch (I, O, kh, kw)
+                            sd[f"{tkey}.weight"] = np.transpose(
+                                arr[::-1, ::-1], (2, 3, 0, 1))
                         else:
                             sd[f"{tkey}.weight"] = np.transpose(arr, (3, 2, 0, 1))
                     else:

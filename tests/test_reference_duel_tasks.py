@@ -1,0 +1,43 @@
+"""Parity-by-execution for segment + pose: the reference's own
+SegmentationValidator / PoseValidator (reference segment/val.py:17-160,
+pose/val.py:17-160), run offline on torch CPU with our exported weights, must
+reproduce our box/mask/pose mAPs on the same synthetic dataset.
+
+Extends the detect duel (test_reference_duel.py) to the remaining
+matched-metric tasks via scripts/reference_duel_tasks.py. This duel is what
+surfaced three real protocol bugs in round 3: the ConvTranspose import/export
+spatial flip, the mask-match dedup order, and GT-mask rasterization
+(full-res fillPoly + resize + 1000-point resample).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["segment", "pose"])
+def test_reference_duel_task_bit_parity(task):
+    # subprocess: the reference import installs sys.modules stubs and an
+    # `ultralytics` package that must not leak into other tests' interpreter.
+    # Trained checkpoints under runs/taskduel/<task>/ are reused when present,
+    # so the steady-state cost is two vals, not a training run.
+    r = subprocess.run(
+        [sys.executable, "scripts/reference_duel_tasks.py", "--task", task],
+        cwd=REPO, capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    row = json.loads((REPO / "runs" / "taskduel" / task / "duel.json")
+                     .read_text())
+    ours, ref = row["ours"], row["reference"]
+    # the duel must exercise real matching, not agree on an untrained 0.0
+    assert ours["map50_box"] > 0.05, row
+    for k in ours:
+        assert abs(ours[k] - ref[k]) <= 1e-3, (k, row)
+    fp = row["forward_parity"]
+    assert fp["box_px"] <= 0.05, row
+    assert fp["cls"] <= 1e-4, row

@@ -162,3 +162,35 @@ def test_round_trip(pair):
     for k, v in sd2.items():
         np.testing.assert_allclose(v, sd[k], rtol=1e-6, atol=1e-7,
                                    err_msg=k)
+
+
+def test_convtranspose_convention():
+    """The importer's ConvTranspose mapping must reproduce torch's op exactly.
+
+    torch.nn.ConvTranspose2d is the GRADIENT of a convolution (kernel applied
+    spatially mirrored); flax nn.ConvTranspose (transpose_kernel=False) runs a
+    fractionally-strided conv with the kernel unflipped. The documented
+    convention — transpose (I,O,kh,kw)->(kh,kw,I,O) THEN reverse both spatial
+    axes — is what convert_state_dict/export_state_dict apply for Proto's
+    upsample (reference block.py:242-254). Round-trip tests alone cannot catch
+    a missing flip (it cancels); this pins the convention against torch."""
+    import flax.linen as fnn
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 5, 6, 4)).astype(np.float32)
+    wt = rng.normal(size=(4, 3, 2, 2)).astype(np.float32)  # (I, O, kh, kw)
+    b = rng.normal(size=(3,)).astype(np.float32)
+
+    tconv = tnn.ConvTranspose2d(4, 3, 2, 2, 0, bias=True)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(wt))
+        tconv.bias.copy_(torch.from_numpy(b))
+        yt = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    yt = yt.numpy().transpose(0, 2, 3, 1)
+
+    kernel = np.transpose(wt, (2, 3, 0, 1))[::-1, ::-1]  # importer convention
+    m = fnn.ConvTranspose(3, (2, 2), strides=(2, 2), use_bias=True)
+    with jax.default_matmul_precision("highest"):
+        yf = m.apply({"params": {"kernel": jnp.asarray(kernel.copy()),
+                                 "bias": jnp.asarray(b)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yf), yt, rtol=1e-5, atol=1e-5)
