@@ -424,10 +424,12 @@ class YOLO:
     def reset_weights(self):
         """Re-initialize all parameters in place (reference model.py:149-160;
         there: reset_parameters per module + requires_grad, here: a fresh
-        PRNG init of the same graph)."""
+        PRNG init of the same graph). Deliberately NOT the construction key
+        (PRNGKey(0)): resetting must yield different weights than a fresh
+        facade the way torch's reset_parameters draws new randomness."""
         import jax
         imgsz = int(self.overrides.get("imgsz", 640))
-        v = self.model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+        v = self.model.init(jax.random.PRNGKey(0x5EED), imgsz=imgsz)
         self.params, self.batch_stats = v["params"], v["batch_stats"]
         return self
 

@@ -137,6 +137,11 @@ def _torch_base(flax_path: str, spec_name: str, spec_args=()) -> str:
             if j < 2:
                 return conv_pair(f"cv4.{i}.{j}")[parts[1]]
             return f"cv4.{i}.{j}"
+    if spec_name == "Classify":
+        # reference head.py:244-260: conv (Conv) + pool + linear
+        if parts[0] == "Dense_0":
+            return "linear"
+        return conv_pair("conv")[parts[1]]
     if spec_name in ("Detect", "AsffDetect"):
         top = parts[0]
         m = re.match(r"(cv[23])_(\d+)_(\d+)$", top)

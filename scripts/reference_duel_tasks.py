@@ -72,6 +72,15 @@ POSE_TINY = {
     "backbone": SEG_TINY["backbone"],
     "head": [[[3, 4, 5], 1, "Pose", ["nc", [3, 3]]]],
 }
+CLS_TINY = {
+    "nc": 3,
+    "backbone": [
+        [-1, 1, "Conv", [16, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+        [-1, 1, "Conv", [32, 3, 2]],
+    ],
+    "head": [[-1, 1, "Classify", ["nc"]]],
+}
 
 
 def make_seg_dataset(root: Path):
@@ -143,6 +152,37 @@ def make_pose_dataset(root: Path):
     return root / "data.yaml"
 
 
+def make_cls_dataset(root: Path):
+    """ImageFolder layout; 3 classes = colored shapes on noise, SQUARE natives
+    (so our plain-resize val preprocessing and any center-crop agree)."""
+    import cv2
+    rng = np.random.default_rng(17)
+    sz = IMGSZ  # native == imgsz: no resampling ambiguity between stacks
+    for split, n_per in (("train", 10), ("val", 4)):
+        for cid, name in enumerate(["disc", "square", "cross"]):
+            d = root / split / name
+            d.mkdir(parents=True, exist_ok=True)
+            for k in range(n_per):
+                # shared random color + heavy noise: the class signal is SHAPE
+                # only, so a briefly-trained tiny model lands mid-range top1
+                # (a saturated 1.0 == 1.0 duel would prove nothing)
+                img = rng.integers(60, 190, (sz, sz, 3), dtype=np.uint8)
+                cx = int(rng.integers(40, sz - 40))
+                cy = int(rng.integers(40, sz - 40))
+                col = tuple(int(v) for v in rng.integers(150, 255, 3))
+                r = int(rng.integers(14, 26))
+                if cid == 0:
+                    cv2.circle(img, (cx, cy), r, col, -1)
+                elif cid == 1:
+                    cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r),
+                                  col, -1)
+                else:
+                    cv2.line(img, (cx - r, cy), (cx + r, cy), col, 7)
+                    cv2.line(img, (cx, cy - r), (cx, cy + r), col, 7)
+                cv2.imwrite(str(d / f"{split}{k}.jpg"), img)
+    return root
+
+
 def train_ours(task: str, model_yaml: Path, data_yaml: Path, run_dir: Path):
     ckpt = run_dir / "train" / "weights" / "last.npz"
     if ckpt.is_file():
@@ -162,9 +202,15 @@ def train_ours(task: str, model_yaml: Path, data_yaml: Path, run_dir: Path):
         from dedark_yolo_tpu.engine.segment import SegmentationTrainer
         cfg["mask_ratio"] = 4
         SegmentationTrainer(cfg).train()
-    else:
+    elif task == "pose":
         from dedark_yolo_tpu.engine.pose import PoseTrainer
         PoseTrainer(cfg).train()
+    else:
+        from dedark_yolo_tpu.engine.classify import ClassificationTrainer
+        for k in ("max_boxes", "max_nms", "max_det"):
+            cfg.pop(k)
+        cfg["epochs"] = 60   # shape-only task: mid-range (non-saturated) top1
+        ClassificationTrainer(cfg).train()
     return ckpt
 
 
@@ -263,7 +309,110 @@ def run_reference_val(task: str, ref_model, data_yaml: Path, save_dir: Path):
     return v(model=ref_model), v
 
 
+def duel_classify():
+    """Classify parity-by-execution.
+
+    The reference's standalone classify val is broken in the fork — its
+    ClassificationValidator.build_dataset references `ClassificationDataset`
+    (classify/val.py:63), which exists nowhere in the tree (NameError). Its
+    validator still runs when handed a prebuilt dataloader, which is exactly
+    how the reference's own trainer drives it — so the duel supplies a shared
+    torch dataloader replicating our val preprocessing (BGR imread, INTER_LINEAR
+    square resize, RGB, /255) and proves model export + top1/top5 metric
+    parity through the reference's own ClassifyMetrics."""
+    import cv2
+    import torch
+    import yaml as pyyaml
+
+    base = REPO / "runs" / "taskduel" / "classify"
+    base.mkdir(parents=True, exist_ok=True)
+    model_yaml = base / "cls_tiny.yaml"
+    model_yaml.write_text(pyyaml.safe_dump(CLS_TINY))
+    data_root = base / "data"
+    if not (data_root / "val").is_dir():
+        make_cls_dataset(data_root)
+
+    ckpt = train_ours("classify", model_yaml, data_root, base)
+    print("== [classify] our stack: standalone val ==")
+    from dedark_yolo_tpu import YOLO
+    m = YOLO(str(ckpt))
+    ours = m.val(data=str(data_root), imgsz=IMGSZ, batch=6,
+                 project="runs/taskduel", name="ours_classify", exist_ok=True,
+                 plots=False)
+
+    print("== [classify] reference model + exported weights ==")
+    from ultralytics.nn.tasks import ClassificationModel
+    names = {i: n for i, n in enumerate(["disc", "square", "cross"])}
+    ref_model = ClassificationModel(cfg=dict(CLS_TINY), ch=3,
+                                    nc=CLS_TINY["nc"], verbose=False)
+    ref_model.names = names
+    n = load_weights_into_reference(ref_model, m)
+    print(f"loaded {n} tensors into the reference model")
+
+    # shared preprocessing (mirrors our ClassificationDataset.load)
+    def load_img(path):
+        img = cv2.imread(str(path))
+        img = cv2.resize(img, (IMGSZ, IMGSZ), interpolation=cv2.INTER_LINEAR)
+        return np.ascontiguousarray(img[..., ::-1]).astype(np.float32) / 255.0
+
+    val_dirs = sorted((data_root / "val").iterdir())
+    samples = [(p, cid) for cid, d in enumerate(val_dirs)
+               for p in sorted(d.glob("*.jpg"))]
+
+    import jax.numpy as jnp
+    rgb = load_img(samples[0][0])
+    ref_model.eval()
+    with torch.no_grad():
+        yt = ref_model(torch.from_numpy(rgb.transpose(2, 0, 1)[None])).numpy()
+    probs = np.asarray(m.model.apply_eval(
+        {"params": m.params, "batch_stats": m.batch_stats},
+        jnp.asarray(rgb)[None]))
+    errs = {"prob": float(np.abs(probs - yt).max())}
+    print(f"forward parity on {samples[0][0].name}: prob={errs['prob']:.2e}")
+
+    print("== [classify] reference stack: its own validator (torch CPU) ==")
+
+    class DuelClsDataset(torch.utils.data.Dataset):
+        def __len__(self):
+            return len(samples)
+
+        def __getitem__(self, i):
+            p, cid = samples[i]
+            return {"img": torch.from_numpy(load_img(p).transpose(2, 0, 1)),
+                    "cls": torch.tensor(cid, dtype=torch.long)}
+
+    dl = torch.utils.data.DataLoader(DuelClsDataset(), batch_size=6,
+                                     shuffle=False, num_workers=0)
+    from ultralytics.cfg import get_cfg
+    from ultralytics.models.yolo.classify import ClassificationValidator as V
+    args = get_cfg(overrides=dict(
+        data=str(data_root), imgsz=IMGSZ, batch=6, device="cpu", half=False,
+        plots=False, verbose=False, mode="val", task="classify"))
+    v = V(dataloader=dl, save_dir=base / "ref", args=args)
+    ref_stats = v(model=ref_model)
+
+    row = {
+        "task": "classify",
+        "ours": {"top1": float(ours["metrics/accuracy_top1"]),
+                 "top5": float(ours["metrics/accuracy_top5"])},
+        "reference": {"top1": float(ref_stats["metrics/accuracy_top1"]),
+                      "top5": float(ref_stats["metrics/accuracy_top5"])},
+        "forward_parity": errs,
+        "config": {"imgsz": IMGSZ, "note":
+                   "reference standalone classify val is broken in the fork "
+                   "(classify/val.py:63 NameError) — dataloader supplied, "
+                   "matching how its own trainer drives the validator"},
+    }
+    print(json.dumps(row, indent=2))
+    for k in row["ours"]:
+        print(f"Δ {k} = {abs(row['ours'][k] - row['reference'][k]):.6f}")
+    (base / "duel.json").write_text(json.dumps(row, indent=2))
+    return row
+
+
 def duel(task: str):
+    if task == "classify":
+        return duel_classify()
     import yaml as pyyaml
     base = REPO / "runs" / "taskduel" / task
     base.mkdir(parents=True, exist_ok=True)
@@ -322,7 +471,8 @@ def duel(task: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="all", choices=["segment", "pose", "all"])
+    ap.add_argument("--task", default="all",
+                    choices=["segment", "pose", "classify", "all"])
     args = ap.parse_args()
 
     # the sitecustomize-pinned axon platform ignores the env var alone —
@@ -336,7 +486,8 @@ def main():
     ultra = import_reference(config_dir="runs/taskduel/.config")
     print(f"reference ultralytics {ultra.__version__} from {ultra.__file__}")
 
-    tasks = ["segment", "pose"] if args.task == "all" else [args.task]
+    tasks = (["segment", "pose", "classify"] if args.task == "all"
+             else [args.task])
     rows = [duel(t) for t in tasks]
     out = REPO / "runs" / "taskduel" / "duel_tasks.json"
     out.write_text(json.dumps(rows, indent=2))

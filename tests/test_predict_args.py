@@ -149,7 +149,10 @@ def test_warm_start_finetune(tmp_path):
     from dedark_yolo_tpu import YOLO
 
     yaml_path = make_synth_dataset(tmp_path / "ds", n_train=8, n_val=4)
-    common = dict(data=str(yaml_path), epochs=1, imgsz=64, batch=4,
+    # nbs=batch so the single epoch (2 micro-batches) actually APPLIES
+    # optimizer steps — at the default nbs=64, accumulate=16 never fires and
+    # the "trained" checkpoint would still equal the PRNGKey(0) init
+    common = dict(data=str(yaml_path), epochs=1, imgsz=64, batch=4, nbs=4,
                   max_boxes=16, max_nms=128, max_det=10, plots=False,
                   val=False, workers=0, warmup_epochs=0.0)
     m = YOLO(TINY)
