@@ -76,7 +76,10 @@ def polygons2masks_overlap(imgsz_hw, polygons_px, downsample_ratio=1):
     either way)."""
     nh = imgsz_hw[0] // downsample_ratio
     nw = imgsz_hw[1] // downsample_ratio
-    out = np.zeros((nh, nw), np.uint8)
+    # >255 instances need a wider dtype or values wrap/overflow (the
+    # reference guards identically, data/utils.py:175-176)
+    out = np.zeros((nh, nw),
+                   np.int32 if len(polygons_px) > 255 else np.uint8)
     ms = [polygon2mask(imgsz_hw, resample_segment(p), value=1,
                        downsample_ratio=downsample_ratio)
           for p in polygons_px]

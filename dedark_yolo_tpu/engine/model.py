@@ -419,6 +419,7 @@ class YOLO:
                                                    self.batch_stats)
         LOGGER.info(f"transferred {n_p + n_b}/{t_p + t_b} items from "
                     f"{weights}")
+        self._collapse_members()
         return self
 
     def reset_weights(self):
@@ -431,7 +432,19 @@ class YOLO:
         imgsz = int(self.overrides.get("imgsz", 640))
         v = self.model.init(jax.random.PRNGKey(0x5EED), imgsz=imgsz)
         self.params, self.batch_stats = v["params"], v["batch_stats"]
+        self._collapse_members()
         return self
+
+    def _collapse_members(self):
+        """After load()/reset_weights() mutate params, an ensemble's cached
+        member weights no longer represent the facade — predict() iterates
+        `members`, so stale entries would silently keep serving the old
+        checkpoints. Collapse to the current weights."""
+        if getattr(self, "members", None) and len(self.members) > 1:
+            LOGGER.warning("ensemble collapsed to a single member by "
+                           "load()/reset_weights()")
+        if getattr(self, "members", None):
+            self.members = [(self.params, self.batch_stats)]
 
     def to(self, device):
         """Pin subsequent work to a platform ('cpu'/'tpu'/'axon'...) by

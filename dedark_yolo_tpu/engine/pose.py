@@ -22,7 +22,8 @@ from ..losses.segment import pose_loss, OKS_SIGMA
 from ..nn.graph import DetectionModel
 from ..ops.boxes import scale_boxes, scale_coords
 from ..ops.nms import non_max_suppression
-from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
+from ..utils import (LOGGER, DetMetrics, match_predictions, match_from_iou,
+                     increment_dir)
 from .predictor import DetectionPredictor
 from .trainer import BaseTrainer
 
@@ -222,7 +223,6 @@ class PoseValidator:
                             * (gt_xyxy[:, 3] - gt_xyxy[:, 1]) * 0.53)
                     oks = kpt_oks(gt_k, pk_nat, area, sigmas)  # (n_gt, k)
                     oks = oks * (gt_cls[:, None] == det_nat[None, :, 5])
-                    from ..utils.metrics import match_from_iou
                     correct = match_from_iou(oks, iouv)
                 kpt_stats["tp"].append(correct)
                 kpt_stats["conf"].append(det[:, 4])

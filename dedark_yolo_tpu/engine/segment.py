@@ -24,7 +24,8 @@ from ..losses.segment import segmentation_loss
 from ..nn.graph import DetectionModel
 from ..ops.boxes import scale_boxes
 from ..ops.nms import non_max_suppression
-from ..utils import LOGGER, DetMetrics, match_predictions, increment_dir
+from ..utils import (LOGGER, DetMetrics, match_predictions, match_from_iou,
+                     increment_dir)
 from .predictor import DetectionPredictor
 from .trainer import BaseTrainer
 
@@ -316,7 +317,6 @@ class SegmentationValidator:
         union = (gt[:, None] | pm[None]).sum((2, 3)).astype(np.float64) + 1e-9
         iou = inter / union
         iou *= (gt_cls[:, None] == det[None, :, 5])
-        from ..utils.metrics import match_from_iou
         return match_from_iou(iou, iouv), pm
 
 

@@ -52,12 +52,14 @@ def increment_dir(path, exist_ok=False):
     return path
 
 
-from .metrics import (ap_per_class, compute_ap, match_predictions, ConfusionMatrix,
-                      Metric, DetMetrics, smooth)
+from .metrics import (ap_per_class, compute_ap, match_predictions,
+                      match_from_iou, ConfusionMatrix, Metric, DetMetrics,
+                      smooth)
 from .ema import ema_init, ema_update, ema_decay
 from .checkpoint import save_checkpoint, load_checkpoint, restore_tree
 
 __all__ = ["LOGGER", "ap_per_class", "compute_ap", "match_predictions",
+           "match_from_iou",
            "ConfusionMatrix", "Metric", "DetMetrics", "smooth", "ema_init",
            "ema_update", "ema_decay", "save_checkpoint", "load_checkpoint",
            "restore_tree"]

@@ -31,7 +31,9 @@ Protocol notes (why bit-parity is the expectation, not luck):
 Missing reference deps are stubbed by scripts/ref_compat.py.
 
 Usage:
-    JAX_PLATFORMS=cpu python scripts/reference_duel_tasks.py [--task segment|pose|all]
+    python scripts/reference_duel_tasks.py [--task segment|pose|classify|all]
+(forces the CPU platform itself; the sitecustomize-pinned axon platform
+ignores JAX_PLATFORMS alone)
 """
 
 from __future__ import annotations
@@ -235,19 +237,9 @@ def build_reference_model(task: str, cfg_dict: dict, names: dict):
     return ref
 
 
-def load_weights_into_reference(ref_model, our_yolo):
-    import torch
-    from dedark_yolo_tpu.utils.torch_import import export_state_dict
-    variables = {"params": our_yolo.params, "batch_stats": our_yolo.batch_stats}
-    sd = export_state_dict(variables, our_yolo.model)
-    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)).float()
-           for k, v in sd.items()}
-    missing, unexpected = ref_model.load_state_dict(tsd, strict=False)
-    bad = [k for k in missing
-           if "dfl" not in k and "num_batches_tracked" not in k]
-    assert not bad, f"unmapped reference params: {bad[:8]}"
-    assert not unexpected, f"exported keys with no reference home: {unexpected[:8]}"
-    return len(tsd)
+# ONE definition of the export -> load_state_dict -> missing/unexpected-key
+# audit, shared with the detect duel (scripts/ is on sys.path above)
+from reference_duel import load_weights_into_reference  # noqa: E402
 
 
 def forward_parity(task: str, ref_model, our_yolo, image_path: Path):
