@@ -47,7 +47,11 @@ def resample_segment(poly, n=1000):
     s = np.concatenate([poly, poly[0:1]], axis=0).astype(np.float32)
     x = np.linspace(0, len(s) - 1, n)
     xp = np.arange(len(s))
-    return np.stack([np.interp(x, xp, s[:, i]) for i in range(2)], axis=1)
+    # float32, matching the reference's resample_segments dtype (ops.py:551):
+    # fillPoly int32-truncates, so a float64 coordinate that rounds to the
+    # next integer under float32 would shift a boundary pixel.
+    return np.stack([np.interp(x, xp, s[:, i]) for i in range(2)],
+                    axis=1).astype(np.float32)
 
 
 def polygon2mask(imgsz_hw, polygon_px, value=1, downsample_ratio=1):

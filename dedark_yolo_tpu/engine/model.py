@@ -427,10 +427,15 @@ class YOLO:
         there: reset_parameters per module + requires_grad, here: a fresh
         PRNG init of the same graph). Deliberately NOT the construction key
         (PRNGKey(0)): resetting must yield different weights than a fresh
-        facade the way torch's reset_parameters draws new randomness."""
+        facade the way torch's reset_parameters draws new randomness. A
+        per-call counter is folded in so consecutive resets also differ
+        from each other (torch draws fresh randomness each call)."""
         import jax
         imgsz = int(self.overrides.get("imgsz", 640))
-        v = self.model.init(jax.random.PRNGKey(0x5EED), imgsz=imgsz)
+        self._reset_count = getattr(self, "_reset_count", 0) + 1
+        key = jax.random.fold_in(jax.random.PRNGKey(0x5EED),
+                                 self._reset_count)
+        v = self.model.init(key, imgsz=imgsz)
         self.params, self.batch_stats = v["params"], v["batch_stats"]
         self._collapse_members()
         return self

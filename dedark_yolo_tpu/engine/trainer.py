@@ -319,6 +319,10 @@ class BaseTrainer:
         variables = model.init(rng, imgsz=a.imgsz, batch=self.model_init_batch())
         params, batch_stats = variables["params"], variables["batch_stats"]
         params, batch_stats = self._warm_start(params, batch_stats)
+        # warm-start + model_cfg_dict are done with the checkpoint: drop the
+        # cached decompressed array dict so a flagship-sized host copy of
+        # every weight doesn't stay alive for the whole run
+        self._ckpt_cache = None
 
         if a.batch < 0:
             a.batch = self._autobatch(model, params, batch_stats)

@@ -280,9 +280,10 @@ class DetectionValidator:
                 stats["target_cls"].append(gt_cls)
                 if a.plots:
                     cm.process_batch(det, gt_xyxy, gt_cls)
-                if getattr(a, "save_txt", False):
+                if getattr(a, "save_txt", False) and len(det):
                     # normalized-xywh label lines (reference detect/val.py:
-                    # 212-219 save_one_txt); with save_hybrid these are the
+                    # 212-219 save_one_txt — which writes NO file for images
+                    # with zero detections); with save_hybrid these are the
                     # autolabelling output (GT + novel detections)
                     txt_dir = self.save_dir / "labels"
                     txt_dir.mkdir(parents=True, exist_ok=True)
