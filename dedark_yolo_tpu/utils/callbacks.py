@@ -5,6 +5,7 @@ integrations kept optional. Handlers receive the Trainer/Validator/Predictor."""
 from __future__ import annotations
 
 from collections import defaultdict
+from pathlib import Path
 
 HOOKS = [
     # trainer
@@ -207,8 +208,94 @@ def _register_dvclive(callbacks):
     callbacks["on_train_end"].append(end)
 
 
+def _register_comet(callbacks):
+    """Comet ML (reference callbacks/comet.py: experiment on pretrain start,
+    log_metrics per fit-epoch, log_model + end on train end)."""
+    import comet_ml
+    assert hasattr(comet_ml, "__version__")  # not a bare directory
+
+    state = {}
+
+    def start(trainer):
+        exp = comet_ml.Experiment(
+            project_name=str(getattr(trainer.args, "project", None)
+                             or "dedark-yolo-tpu"))
+        exp.log_parameters({k: "" if v is None else v
+                            for k, v in vars(trainer.args).items()})
+        state["exp"] = exp
+
+    def epoch_end(trainer):
+        exp = state.get("exp")
+        if exp:
+            exp.log_metrics(_clean_metrics(trainer), step=trainer.epoch + 1,
+                            epoch=trainer.epoch + 1)
+
+    def end(trainer):
+        exp = state.pop("exp", None)
+        if exp:
+            best = getattr(trainer, "best", None)
+            if best is not None and Path(str(best)).exists():
+                exp.log_model("best", str(best))
+            exp.end()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+def _register_neptune(callbacks):
+    """Neptune.ai (reference callbacks/neptune.py: init_run on pretrain start
+    with the hyperparameter namespace, per-key scalar append per fit-epoch,
+    stop on train end)."""
+    import neptune
+    assert hasattr(neptune, "__version__")
+
+    state = {}
+
+    def start(trainer):
+        run = neptune.init_run(
+            project=str(getattr(trainer.args, "project", None)
+                        or "dedark-yolo-tpu"),
+            name=str(getattr(trainer.args, "name", None) or "train"))
+        run["Configuration/Hyperparameters"] = {
+            k: "" if v is None else v for k, v in vars(trainer.args).items()}
+        state["run"] = run
+
+    def epoch_end(trainer):
+        run = state.get("run")
+        if run:
+            for k, v in _clean_metrics(trainer).items():
+                run[k].append(value=v, step=trainer.epoch + 1)
+
+    def end(trainer):
+        run = state.pop("run", None)
+        if run:
+            run.stop()
+
+    callbacks["on_pretrain_routine_start"].append(start)
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+    callbacks["on_train_end"].append(end)
+
+
+def _register_raytune(callbacks):
+    """Ray Tune (reference callbacks/raytune.py: session.report of the metric
+    dict + epoch at each fit-epoch end, only when inside a tune session)."""
+    import ray
+    from ray import tune  # noqa: F401  (presence check, like the reference)
+    from ray.air import session
+
+    def epoch_end(trainer):
+        if ray.tune.is_session_enabled():
+            metrics = _clean_metrics(trainer)
+            metrics["epoch"] = trainer.epoch
+            session.report(metrics)
+
+    callbacks["on_fit_epoch_end"].append(epoch_end)
+
+
 # import-guarded tracker registrars, appended in reference order
 # (callbacks/base.py:191-212); each silently skips when its client package is
 # absent, exactly like the reference's try/except ImportError modules
 _TRACKERS = (_register_wandb, _register_mlflow, _register_clearml,
-             _register_dvclive)
+             _register_dvclive, _register_comet, _register_neptune,
+             _register_raytune)

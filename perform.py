@@ -63,6 +63,55 @@ def test_img(weights, img_path, imgsz=640, conf=0.4, save_dir="runs/detect/test_
     return results
 
 
+def test_video(weights, video, imgsz=640, conf=0.4, output=None, fps=None,
+               line_width=3, show=False):
+    """Frame-by-frame annotated video (reference perform.py:72-106 test_video:
+    cv2.VideoCapture loop -> model(frame) -> res[0].plot(line_width=3) ->
+    VideoWriter). Adds a per-frame FPS overlay; `show` gates cv2.imshow for
+    headless hosts (the reference shows unconditionally)."""
+    import cv2
+
+    model = YOLO(weights)
+    path = Path(video)
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        LOGGER.error(f"Error: Could not open video {path}.")
+        return None
+    size = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    out_path = Path(output) if output else Path(f"{path.stem}_output.mp4")
+    fourcc = cv2.VideoWriter_fourcc(*"XVID")
+    out = cv2.VideoWriter(str(out_path), fourcc,
+                          fps or cap.get(cv2.CAP_PROP_FPS) or 40, size)
+    n, t_total = 0, 0.0
+    try:
+        while cap.isOpened():
+            ret, frame = cap.read()
+            if not ret:
+                break
+            t0 = time.time()
+            res = model(frame, imgsz=imgsz, conf=conf, verbose=False)
+            dt = time.time() - t0
+            n, t_total = n + 1, t_total + dt
+            import numpy as np
+            ann = np.ascontiguousarray(res[0].plot(line_width=line_width))
+            cv2.putText(ann, f"{1.0 / dt:.1f} FPS", (10, 30),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0), 2)
+            out.write(ann)
+            if show:
+                cv2.imshow("yolo", ann)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+    finally:
+        if show:
+            cv2.destroyAllWindows()
+        cap.release()
+        out.release()
+    LOGGER.info(f"{n} frames -> {out_path} "
+                f"({n / t_total:.1f} FPS avg)" if n else "no frames read")
+    return out_path
+
+
 def test_folders(weights, folder, imgsz=640, conf=0.4, batch=8,
                  save_dir="runs/detect/test_folders"):
     """Batch-infer a directory: annotated images + txt + stats JSON with FPS
@@ -144,7 +193,8 @@ if __name__ == "__main__":
     # minimal dispatch: python perform.py FUNC k=v ...
     if len(sys.argv) < 2 or sys.argv[1] not in dir():
         print("usage: python perform.py {train,train_lowght,predict,test_img,"
-              "test_folders,calculate_detection_metrics,onnx,flops_params} k=v ...")
+              "test_video,test_folders,calculate_detection_metrics,onnx,"
+              "flops_params} k=v ...")
         raise SystemExit(1)
     fn = globals()[sys.argv[1]]
     kwargs = {}

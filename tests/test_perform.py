@@ -67,3 +67,25 @@ def test_rates_and_flops(driver_run, tmp_path):
         assert v["detection_rate"] + v["miss_rate"] == pytest.approx(1.0)
     n_params, flops = perform.flops_params(weights, imgsz=96)
     assert n_params > 1e5
+
+
+def test_video_mode(driver_run, tmp_path):
+    """perform.test_video: annotated video with FPS overlay (reference
+    perform.py:72-106)."""
+    import cv2
+    data, weights, _ = driver_run
+    src = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (128, 96))
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    w.release()
+    out = perform.test_video(weights, str(src), imgsz=96, conf=0.01,
+                             output=str(tmp_path / "out.mp4"), **{
+                                 k: v for k, v in KW.items()
+                                 if k in ()})
+    assert out is not None and Path(out).exists()
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened() and cap.get(cv2.CAP_PROP_FRAME_COUNT) == 4
+    cap.release()

@@ -133,3 +133,123 @@ def test_tracker_integration_via_fake_wandb(monkeypatch, tmp_path):
     logged, step = calls["log"][0]
     assert step == 1 and logged["metrics/mAP50B"] == 0.5
     assert logged["val/box_loss"] == 1.25
+
+
+def _drive_hooks(inst, trainer):
+    for hook in ("on_pretrain_routine_start", "on_fit_epoch_end",
+                 "on_train_end"):
+        for cb in inst.callbacks[hook]:
+            cb(trainer)
+
+
+def _tracker_trainer(tmp_path):
+    return SimpleNamespace(
+        args=SimpleNamespace(project="p", name="n", plots=False),
+        metrics={"metrics/mAP50(B)": 0.5}, epoch=0, save_dir=tmp_path,
+        best=tmp_path / "best.npz")
+
+
+def test_tracker_integration_via_fake_comet(monkeypatch, tmp_path):
+    """Fake comet_ml proves Experiment/log_metrics/end wiring (reference
+    callbacks/comet.py)."""
+    from dedark_yolo_tpu.utils.callbacks import (add_integration_callbacks,
+                                                 get_default_callbacks)
+    calls = {"params": [], "metrics": [], "end": 0, "models": []}
+
+    class Experiment:
+        def __init__(self, project_name=None):
+            calls["project"] = project_name
+
+        def log_parameters(self, p):
+            calls["params"].append(p)
+
+        def log_metrics(self, m, step=None, epoch=None):
+            calls["metrics"].append((dict(m), step))
+
+        def log_model(self, name, path):
+            calls["models"].append((name, path))
+
+        def end(self):
+            calls["end"] += 1
+
+    fake = types.ModuleType("comet_ml")
+    fake.__version__ = "0.0-fake"
+    fake.Experiment = Experiment
+    monkeypatch.setitem(sys.modules, "comet_ml", fake)
+
+    inst = SimpleNamespace(callbacks=get_default_callbacks())
+    add_integration_callbacks(inst)
+    trainer = _tracker_trainer(tmp_path)
+    trainer.best.write_bytes(b"x")
+    _drive_hooks(inst, trainer)
+    assert calls["end"] == 1 and calls["project"] == "p"
+    assert calls["metrics"][0] == ({"metrics/mAP50B": 0.5}, 1)
+    assert calls["models"] == [("best", str(trainer.best))]
+
+
+def test_tracker_integration_via_fake_neptune(monkeypatch, tmp_path):
+    """Fake neptune proves init_run/append/stop wiring (reference
+    callbacks/neptune.py)."""
+    from dedark_yolo_tpu.utils.callbacks import (add_integration_callbacks,
+                                                 get_default_callbacks)
+    calls = {"appended": [], "stopped": 0, "assigned": {}}
+
+    class Series:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, value=None, step=None):
+            calls["appended"].append((self.key, value, step))
+
+    class Run:
+        def __getitem__(self, key):
+            return Series(key)
+
+        def __setitem__(self, key, value):
+            calls["assigned"][key] = value
+
+        def stop(self):
+            calls["stopped"] += 1
+
+    fake = types.ModuleType("neptune")
+    fake.__version__ = "0.0-fake"
+    fake.init_run = lambda project=None, name=None: Run()
+    monkeypatch.setitem(sys.modules, "neptune", fake)
+
+    inst = SimpleNamespace(callbacks=get_default_callbacks())
+    add_integration_callbacks(inst)
+    _drive_hooks(inst, _tracker_trainer(tmp_path))
+    assert calls["stopped"] == 1
+    assert ("metrics/mAP50B", 0.5, 1) in calls["appended"]
+    assert "Configuration/Hyperparameters" in calls["assigned"]
+
+
+def test_tracker_integration_via_fake_raytune(monkeypatch, tmp_path):
+    """Fake ray proves session.report is called only inside a tune session
+    (reference callbacks/raytune.py)."""
+    from dedark_yolo_tpu.utils.callbacks import (add_integration_callbacks,
+                                                 get_default_callbacks)
+    reports = []
+    enabled = {"v": True}
+
+    ray = types.ModuleType("ray")
+    tune = types.ModuleType("ray.tune")
+    air = types.ModuleType("ray.air")
+    session = types.ModuleType("ray.air.session")
+    tune.is_session_enabled = lambda: enabled["v"]
+    session.report = lambda m: reports.append(dict(m))
+    ray.tune, air.session = tune, session
+    for name, mod in (("ray", ray), ("ray.tune", tune), ("ray.air", air),
+                      ("ray.air.session", session)):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    inst = SimpleNamespace(callbacks=get_default_callbacks())
+    add_integration_callbacks(inst)
+    trainer = _tracker_trainer(tmp_path)
+    for cb in inst.callbacks["on_fit_epoch_end"]:
+        cb(trainer)
+    enabled["v"] = False
+    for cb in inst.callbacks["on_fit_epoch_end"]:
+        cb(trainer)
+    assert len(reports) == 1 and reports[0]["epoch"] == 0
+    assert reports[0]["metrics/mAP50B"] == 0.5
