@@ -258,6 +258,33 @@ def mixup(sample_a, sample_b, rng=None):
     return Sample(img, boxes, cls)
 
 
+def photometric_augment(img, rng, p=0.01):
+    """Albumentations-equivalent photometric extras (reference augment.py:
+    648-672: A.Blur/A.MedianBlur/A.ToGray/A.CLAHE each at p=0.01, active in
+    v8_transforms:792 whenever the package is installed). Re-implemented in
+    cv2/numpy with the same defaults so trained-model robustness matches the
+    reference-with-albumentations: Blur ksize 3..7, MedianBlur odd ksize 3..7,
+    ToGray channel-replicated, CLAHE clip 1..4 on the LAB L channel with an
+    8x8 tile grid. Box-preserving (all four are pixel-only), drawn from the
+    SEEDED per-item rng so the loader's determinism contract holds."""
+    if rng.random() < p:  # A.Blur(blur_limit=7)
+        k = rng.randint(3, 7)
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:  # A.MedianBlur(blur_limit=7), ksize must be odd
+        k = rng.choice((3, 5, 7))
+        img = cv2.medianBlur(np.ascontiguousarray(img), k)
+    if rng.random() < p:  # A.ToGray()
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        img = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    if rng.random() < p:  # A.CLAHE(clip_limit=4.0, tile_grid_size=(8, 8))
+        clip = rng.uniform(1.0, 4.0)
+        lab = cv2.cvtColor(np.ascontiguousarray(img), cv2.COLOR_BGR2LAB)
+        clahe = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    return img
+
+
 class TrainTransforms:
     """Mosaic + affine + mixup + HSV + flips, emitting (img_uint8_RGB, boxes_xywhn, cls).
 
@@ -314,7 +341,12 @@ class TrainTransforms:
                 border=border, rng=rng)
             sample = mixup(sample, Sample(oimg, oboxes, ocls), rng)
 
-        img = random_hsv(sample.img, h.get("hsv_h", 0.015), h.get("hsv_s", 0.7),
+        # photometric extras sit exactly where the reference wires
+        # Albumentations: after MixUp, before RandomHSV (augment.py:792)
+        img = sample.img
+        if h.get("photometric", True):
+            img = photometric_augment(img, rng)
+        img = random_hsv(img, h.get("hsv_h", 0.015), h.get("hsv_s", 0.7),
                          h.get("hsv_v", 0.4), rng)
         boxes, cls = sample.boxes, sample.cls
 

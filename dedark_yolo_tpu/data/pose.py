@@ -239,6 +239,9 @@ class PoseTrainTransforms:
             kpts = np.concatenate([tk, vis[..., None]],
                                   -1).astype(np.float32)[keep]
             boxes, cls = new[keep].astype(np.float32), cls[keep]
+        if h.get("photometric", True):
+            from .augment import photometric_augment
+            img = photometric_augment(img, rng)
         img = random_hsv(img, h.get("hsv_h", 0.015), h.get("hsv_s", 0.7),
                          h.get("hsv_v", 0.4), rng)
         ih, iw = img.shape[:2]

@@ -321,7 +321,9 @@ class SegTrainTransforms:
                      + np.asarray([dw, dh], np.float32) for q in polys]
             border = (0, 0)
         img, cls, polys = seg_affine(img, cls, polys, h, border, rng)
-        from .augment import random_hsv
+        from .augment import photometric_augment, random_hsv
+        if h.get("photometric", True):
+            img = photometric_augment(img, rng)
         img = random_hsv(img, h.get("hsv_h", 0.015), h.get("hsv_s", 0.7),
                          h.get("hsv_v", 0.4), rng)
         ih, iw = img.shape[:2]

@@ -66,7 +66,8 @@ class PoseTrainer(BaseTrainer):
                          kpt_shape=self.kpt_shape)
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "hsv_h", "hsv_s", "hsv_v", "degrees",
-                    "translate", "scale", "shear", "perspective")}
+                    "translate", "scale", "shear", "perspective",
+                    "photometric")}
         self.train_tf = PoseTrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(
             ds, self.train_tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,

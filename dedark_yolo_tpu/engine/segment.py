@@ -49,7 +49,7 @@ class SegmentationTrainer(BaseTrainer):
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
                     "degrees", "translate", "scale", "shear", "perspective",
-                    "fliplr")}
+                    "fliplr", "photometric")}
         self.train_tf = SegTrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(
             ds, self.train_tf, a.batch, max_boxes=a.max_boxes, seed=a.seed,

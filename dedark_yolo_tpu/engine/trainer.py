@@ -722,7 +722,7 @@ class DetectionTrainer(BaseTrainer):
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "mixup", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
                     "degrees", "translate", "scale", "shear", "perspective",
-                    "flipud", "fliplr")}
+                    "flipud", "fliplr", "photometric")}
         train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz,
                                nc=self.data["nc"], cache=a.cache,
                                fraction=a.fraction, single_cls=a.single_cls)

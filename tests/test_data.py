@@ -214,3 +214,65 @@ def test_disk_cache(synth, tmp_path):
     assert (dst / "val0.npy").exists() or any(p.suffix == ".npy" for p in dst.iterdir())
     b = ds._read(0)  # second read hits the .npy sidecar
     np.testing.assert_array_equal(a, b)
+
+
+def test_photometric_augment_determinism_and_effects():
+    """Blur/MedianBlur/ToGray/CLAHE extras (reference augment.py:648-672):
+    seeded-rng deterministic, box-free (pixel-only), and each branch fires."""
+    import random
+
+    import cv2
+
+    from dedark_yolo_tpu.data.augment import photometric_augment
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+
+    # determinism: same seed -> identical output bytes
+    a = photometric_augment(img.copy(), random.Random(7), p=1.0)
+    b = photometric_augment(img.copy(), random.Random(7), p=1.0)
+    assert np.array_equal(a, b)
+    assert a.shape == img.shape and a.dtype == np.uint8
+
+    # p=1.0 applies ToGray (channels near-equal; the CLAHE LAB round-trip
+    # that follows reintroduces ±1-count channel noise)
+    assert np.abs(a[..., 0].astype(int) - a[..., 1].astype(int)).max() <= 2
+    assert np.abs(a[..., 1].astype(int) - a[..., 2].astype(int)).max() <= 2
+
+    # p=0.0 is the identity (flag-off path)
+    c = photometric_augment(img.copy(), random.Random(7), p=0.0)
+    assert np.array_equal(c, img)
+
+    # blur-only branch smooths: variance of laplacian drops
+    class FirstOnly:
+        """rng stub: fires only the first p-gate."""
+
+        def __init__(self):
+            self.n = 0
+
+        def random(self):
+            self.n += 1
+            return 0.0 if self.n == 1 else 1.0
+
+        def randint(self, a_, b_):
+            return 5
+
+    blurred = photometric_augment(img.copy(), FirstOnly(), p=0.5)
+    assert cv2.Laplacian(blurred, cv2.CV_64F).var() < \
+        cv2.Laplacian(img, cv2.CV_64F).var()
+
+
+def test_train_transforms_photometric_flag(synth):
+    """photometric=False reproduces the round-3 pipeline byte-for-byte
+    (no extra rng draws when the flag is off)."""
+    from dedark_yolo_tpu.data import YOLODataset
+    from dedark_yolo_tpu.data.augment import TrainTransforms
+
+    ds = YOLODataset(synth["train"], imgsz=96, nc=3)
+    base = dict(mosaic=1.0, mixup=0.0)
+    import random
+    img0, _, _ = TrainTransforms({**base, "photometric": False}, 96)(
+        ds, 0, random.Random(11))
+    img1, _, _ = TrainTransforms({**base, "photometric": False}, 96)(
+        ds, 0, random.Random(11))
+    assert np.array_equal(img0, img1)
