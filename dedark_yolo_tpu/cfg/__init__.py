@@ -39,7 +39,7 @@ CFG_BOOL_KEYS = {
     "save_txt", "save_conf", "save_crop", "show_labels", "show_conf", "visualize",
     "augment", "agnostic_nms", "retina_masks", "boxes", "keras", "optimize", "int8",
     "dynamic", "simplify", "nms", "profile", "lowlight_FLAG", "dedark_FLAG",
-    "save_enhanced",
+    "save_enhanced", "photometric", "fuse",
 }
 
 

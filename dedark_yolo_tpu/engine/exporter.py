@@ -6,8 +6,11 @@ StableHLO (the portable XLA IR any XLA runtime can load), a weight-embedded
 jax.export .bin (the TPU analogue of a TensorRT engine), and a weights npz.
 The reference's TensorFlow-family formats are ALSO supported via jax2tf
 native lowering: saved_model, tflite (mobile), and frozen-graph pb —
-round-tripped through AutoBackend for parity. ONNX/TensorRT/CoreML remain
-out of scope (toolchains absent and GPU/Apple deployment paths).
+round-tripped through AutoBackend for parity. ONNX rides the same jax2tf
+function through tf2onnx behind an import guard (the packages are absent in
+this environment — the guard raises the documented error; where they exist
+the artifact is produced). TensorRT/CoreML remain out of scope (GPU/Apple
+deployment toolchains).
 """
 
 from __future__ import annotations
@@ -65,6 +68,21 @@ class Exporter:
         batch = max(1, int(a.batch))
 
         task = getattr(model, "task", "detect")
+        if getattr(a, "fuse", False) and not getattr(model, "repconv_deploy",
+                                                     False) and any(
+                s.name == "RepC3" for s in getattr(model, "specs", ())):
+            # fuse=True: re-parameterize RepConv branches to the deploy form
+            # before serializing (reference exporter fuses via
+            # attempt_load fuse=True; conv.py:268-291 fuse_convs)
+            from ..nn.graph import DetectionModel
+            from ..nn.layers import fuse_repconv_variables
+            fused = fuse_repconv_variables({"params": params,
+                                            "batch_stats": batch_stats})
+            m2 = DetectionModel(model.yaml, repconv_deploy=True)
+            m2.names = getattr(model, "names", m2.names)
+            model, params, batch_stats = m2, fused["params"], \
+                fused["batch_stats"]
+            LOGGER.info("export fuse: RepConv -> deploy form")
         if getattr(a, "half", False):
             # bf16 deployment weights (reference half=True export): halves
             # the artifact and runs the MXU-native dtype; outputs stay f32
@@ -169,6 +187,41 @@ class Exporter:
                 (out_dir / "model.pb.json").write_text(json.dumps(meta))
             LOGGER.info(f"exported {fmt} to {path}")
             return str(path)
+        if fmt == "onnx":
+            # Guarded ONNX path (reference exporter.py:138-186 export_onnx,
+            # perform.py:41-53): ride the same jax2tf native-lowered function
+            # the TF-family formats use, then convert with tf2onnx where the
+            # toolchain exists. In this environment the conversion is blocked
+            # (verified OnnxExporterError, docs/PARITY.md) — the import guard
+            # raises the documented error instead of failing mid-convert.
+            try:
+                import tensorflow as tf
+                import tf2onnx
+                import onnx  # noqa: F401  (tf2onnx writes onnx protos)
+            except ImportError as e:
+                raise RuntimeError(
+                    "ONNX export needs the 'tf2onnx' and 'onnx' packages, "
+                    "which are not available in this environment (see "
+                    "docs/PARITY.md). Use format='bin' (jax.export), "
+                    "'saved_model', 'tflite', or 'stablehlo' instead."
+                ) from e
+            from jax.experimental import jax2tf
+            tfun = tf.function(
+                jax2tf.convert(infer_u8), autograph=False,
+                input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3),
+                                               tf.uint8, name="images")])
+            path = out_dir / "model.onnx"
+            tf2onnx.convert.from_function(
+                tfun,
+                input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3),
+                                               tf.uint8, name="images")],
+                opset=int(getattr(a, "opset", None) or 17),
+                output_path=str(path))
+            import json
+            (out_dir / "model.onnx.json").write_text(
+                json.dumps(sidecar_meta(), indent=2))
+            LOGGER.info(f"exported ONNX to {path}")
+            return str(path)
         if fmt == "stablehlo":
             lowered = jax.jit(infer).lower(example)
             path = out_dir / "model.stablehlo.mlir"
@@ -183,4 +236,4 @@ class Exporter:
             return str(path)
         raise ValueError(
             f"unsupported export format '{fmt}' (supported: bin, stablehlo, "
-            f"npz, saved_model, tflite, pb)")
+            f"npz, saved_model, tflite, pb, onnx)")

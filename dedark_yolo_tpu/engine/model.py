@@ -374,13 +374,37 @@ class YOLO:
         return benchmark(self, **overrides)
 
     def fuse(self):
-        """API-compatible no-op (reference BaseModel.fuse folds conv+BN for
-        eager inference, tasks.py:153-178). Under XLA the eval-mode BN is an
-        affine epilogue fused into the convolution at compile time, so there
-        is nothing to fold ahead of time."""
+        """Deploy-time fusion (reference BaseModel.fuse, tasks.py:153-178).
+
+        Conv+BN folding is a no-op here: under XLA the eval-mode BN is an
+        affine epilogue fused into the convolution at compile time. RepConv,
+        however, is a STRUCTURAL merge (3 branches -> one biased 3x3 conv,
+        reference conv.py:268-291 fuse_convs) that changes inference FLOPs
+        and XLA cannot do on its own — when the graph contains RepConv
+        blocks, rebuild it in deploy form and re-parameterize the weights."""
         from ..utils import LOGGER
-        LOGGER.info("fuse(): conv+BN folding happens inside XLA compilation; "
-                    "no ahead-of-time fusion needed")
+        has_rep = any(s.name == "RepC3" for s in
+                      getattr(self.model, "specs", ()))
+        if not has_rep:
+            LOGGER.info("fuse(): conv+BN folding happens inside XLA "
+                        "compilation; no ahead-of-time fusion needed")
+            return self
+        if getattr(self.model, "repconv_deploy", False):
+            return self  # already fused
+        if self.params is None:
+            self._ensure_params(int(self.overrides.get("imgsz", 640)))
+        from ..nn.graph import DetectionModel
+        from ..nn.layers import fuse_repconv_variables
+        fused = fuse_repconv_variables({"params": self.params,
+                                        "batch_stats": self.batch_stats})
+        model = DetectionModel(self.model.yaml, repconv_deploy=True)
+        model.names = self.model.names
+        self.model = model
+        self.params = fused["params"]
+        self.batch_stats = fused["batch_stats"]
+        self._collapse_members()
+        LOGGER.info("fuse(): RepConv branches re-parameterized to deploy "
+                    "form (single 3x3 conv per block)")
         return self
 
     @property

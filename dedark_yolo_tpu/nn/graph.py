@@ -246,7 +246,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
 
 
 def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla",
-                  contrast_mode: str = "channel"):
+                  contrast_mode: str = "channel",
+                  repconv_deploy: bool = False):
     """Instantiate the flax module for a LayerSpec (None for functional layers)."""
     name, a = spec.name, list(spec.args)
     if name == "Conv":
@@ -282,7 +283,7 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla",
     if name == "C3Ghost":
         return L.C3Ghost(c2=a[0], n=a[1])
     if name == "RepC3":
-        return L.RepC3(c2=a[0], n=a[1])
+        return L.RepC3(c2=a[0], n=a[1], deploy=repconv_deploy)
     if name == "BottleneckCSP":
         return L.BottleneckCSP(c2=a[0], n=a[1], shortcut=a[2] if len(a) > 2 else True)
     if name == "Bottleneck":
@@ -359,6 +360,7 @@ class YOLOGraph(nn.Module):
     head: FrozenDict
     enhance_impl: str = "xla"  # 'pallas' = fused VMEM enhance kernel (eval path)
     contrast_mode: str = "channel"  # 'reference' = torch-fork bit-faithful contrast
+    repconv_deploy: bool = False  # re-parameterized RepConv single-conv form
 
     def setup(self):
         mods = []
@@ -369,11 +371,12 @@ class YOLOGraph(nn.Module):
                 # tasks.py:905-906) — one shared instance would silently tie
                 # their weights
                 m = tuple(_build_module(s, dict(self.head), self.enhance_impl,
-                                        self.contrast_mode)
+                                        self.contrast_mode,
+                                        self.repconv_deploy)
                           for _ in range(s.n))
             else:
                 m = _build_module(s, dict(self.head), self.enhance_impl,
-                                  self.contrast_mode)
+                                  self.contrast_mode, self.repconv_deploy)
             mods.append(m if m is not None else ())
         self.mods = mods
 
@@ -443,7 +446,8 @@ class DetectionModel:
     """
 
     def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False,
-                 enhance_impl: str = "xla", contrast_mode: str = "channel"):
+                 enhance_impl: str = "xla", contrast_mode: str = "channel",
+                 repconv_deploy: bool = False):
         import copy
         self.yaml = copy.deepcopy(cfg_dict)
         if nc and nc != self.yaml.get("nc"):
@@ -455,10 +459,12 @@ class DetectionModel:
                      "Pose": "pose"}.get(self.head["name"], "detect")
         self.reg_max = 16
         self.no = self.nc + 4 * self.reg_max
+        self.repconv_deploy = repconv_deploy
         self.module = YOLOGraph(specs=self.specs, save=tuple(self.save),
                                 head=FrozenDict(self.head),
                                 enhance_impl=enhance_impl,
-                                contrast_mode=contrast_mode)
+                                contrast_mode=contrast_mode,
+                                repconv_deploy=repconv_deploy)
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):

@@ -294,22 +294,98 @@ class PConv(nn.Module):
 
 
 class RepConv(nn.Module):
-    """Rep-style 3x3 + 1x1 (+BN id) parallel block, train form. Reference conv.py:193-218."""
+    """Rep-style 3x3 + 1x1 (+BN id) parallel block. Reference conv.py:193-291.
+
+    `deploy=True` is the re-parameterized single-conv form (reference
+    fuse_convs): one biased 3x3 conv whose weights come from
+    `fuse_repconv_variables`, numerically equal to the train form but a
+    single MXU pass — the structural merge XLA cannot do on its own (BN
+    folding it can; summing three differently-shaped conv branches it
+    cannot)."""
     c2: int
     k: int = 3
     s: int = 1
     use_id_bn: bool = False
     act: Any = "silu"
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        act = self.act if self.act is not True else "silu"
+        act_fn = get_act(act if isinstance(act, str) else "identity")
+        if self.deploy:
+            y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                        padding=((1, 1), (1, 1)), use_bias=True,
+                        name="fused")(x)
+            return act_fn(y)
         y = Conv(self.c2, self.k, self.s, p=1, act="identity")(x, train)
         y = y + Conv(self.c2, 1, self.s, p=0, act="identity")(x, train)
         if self.use_id_bn and x.shape[-1] == self.c2 and self.s == 1:
             y = y + nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
-        act = self.act if self.act is not True else "silu"
-        return get_act(act if isinstance(act, str) else "identity")(y)
+        return act_fn(y)
+
+
+def _fuse_one_repconv(p, bs):
+    """Collapse one RepConv train-form param subtree to the deploy form
+    (reference conv.py:221-244 get_equivalent_kernel_bias, NHWC layout:
+    kernels are (kh, kw, cin, cout)). BN fold: W' = W*(gamma/std),
+    b' = beta - mean*gamma/std; the 1x1 kernel zero-pads to the 3x3 center;
+    an identity-BN branch contributes a scaled identity kernel."""
+    def branch(conv_p, conv_bs):
+        kern = conv_p["Conv_0"]["kernel"]
+        t = conv_p["BatchNorm_0"]["scale"] / jnp.sqrt(
+            conv_bs["BatchNorm_0"]["var"] + BN_EPS)
+        return kern * t, conv_p["BatchNorm_0"]["bias"] - \
+            conv_bs["BatchNorm_0"]["mean"] * t
+
+    k3, b3 = branch(p["Conv_0"], bs["Conv_0"])
+    k1, b1 = branch(p["Conv_1"], bs["Conv_1"])
+    kern = k3 + jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    bias = b3 + b1
+    if "BatchNorm_0" in p:  # identity-BN branch (use_id_bn, cin == cout)
+        t = p["BatchNorm_0"]["scale"] / jnp.sqrt(
+            bs["BatchNorm_0"]["var"] + BN_EPS)
+        cin = kern.shape[2]
+        idx = jnp.arange(cin)
+        kern = kern.at[1, 1, idx, idx].add(t)
+        bias = bias + p["BatchNorm_0"]["bias"] - bs["BatchNorm_0"]["mean"] * t
+    return {"fused": {"kernel": kern, "bias": bias}}
+
+
+def fuse_repconv_variables(variables):
+    """Rewrite a variables dict for the repconv_deploy=True graph: every
+    RepConv_* scope's three branches merge into one biased 3x3 conv and its
+    batch_stats entries disappear (reference conv.py:268-291 fuse_convs).
+    Non-RepConv scopes pass through untouched."""
+    from collections.abc import Mapping
+
+    def walk(p, bs):
+        new_p, new_bs = {}, {}
+        for k, v in p.items():
+            sub_bs = bs.get(k, {}) if isinstance(bs, Mapping) else {}
+            if (k.startswith("RepConv") and isinstance(v, Mapping)
+                    and "Conv_1" in v):
+                new_p[k] = _fuse_one_repconv(v, sub_bs)
+            elif isinstance(v, Mapping):
+                np_, nbs_ = walk(v, sub_bs)
+                new_p[k] = np_
+                if nbs_:
+                    new_bs[k] = nbs_
+            else:
+                new_p[k] = v
+                if isinstance(bs, Mapping) and k in bs:
+                    new_bs[k] = bs[k]
+        # batch_stats leaves with no params twin (pure-BN scopes) carry over
+        if isinstance(bs, Mapping):
+            for k, v in bs.items():
+                if k not in p:
+                    new_bs[k] = v
+        return new_p, new_bs
+
+    params, bstats = walk(dict(variables["params"]),
+                          dict(variables.get("batch_stats", {})))
+    return {"params": params, "batch_stats": bstats}
 
 
 class ChannelAttention(nn.Module):
@@ -729,17 +805,18 @@ class C3TR(nn.Module):
 
 
 class RepC3(nn.Module):
-    """Reference block.py:499-512."""
+    """Reference block.py:499-512. `deploy` re-parameterizes the RepConvs."""
     c2: int
     n: int = 3
     e: float = 1.0
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
         a = Conv(self.c2, 1, 1)(x, train)
         for _ in range(self.n):
-            a = RepConv(c_)(a, train)
+            a = RepConv(c_, deploy=self.deploy)(a, train)
         b = Conv(self.c2, 1, 1)(x, train)
         y = a + b
         if c_ != self.c2:

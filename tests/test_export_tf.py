@@ -218,3 +218,55 @@ def test_benchmark_formats_table(live, tmp_path):
         assert r["img_per_sec"] > 0
         if fmt != "live":
             assert r["size_mb"] > 0
+
+
+def test_export_onnx_guarded_error(tmp_path, monkeypatch):
+    """Without tf2onnx/onnx installed the exporter raises the documented
+    clear error, not a mid-convert failure (reference exporter.py:138-186)."""
+    import sys
+
+    from dedark_yolo_tpu import YOLO
+    monkeypatch.setitem(sys.modules, "tf2onnx", None)  # forces ImportError
+    m = YOLO(TINY)
+    m._ensure_params(96)
+    with pytest.raises(RuntimeError, match="tf2onnx"):
+        m.export(format="onnx", imgsz=96, batch=1, project=str(tmp_path))
+
+
+def test_export_onnx_call_contract_via_fake_toolchain(tmp_path, monkeypatch):
+    """A fake tf2onnx pins the conversion call contract: from_function gets
+    the uint8 input signature, the chosen opset, and the model.onnx output
+    path; the sidecar json is written beside it."""
+    import json
+    import sys
+    import types
+
+    pytest.importorskip("tensorflow")
+    from dedark_yolo_tpu import YOLO
+
+    calls = {}
+
+    def from_function(tfun, input_signature=None, opset=None,
+                      output_path=None):
+        calls["sig"] = input_signature
+        calls["opset"] = opset
+        calls["output_path"] = output_path
+        Path(output_path).write_bytes(b"fake-onnx")
+        return object(), None
+
+    fake_t2o = types.ModuleType("tf2onnx")
+    fake_t2o.convert = types.SimpleNamespace(from_function=from_function)
+    fake_onnx = types.ModuleType("onnx")
+    monkeypatch.setitem(sys.modules, "tf2onnx", fake_t2o)
+    monkeypatch.setitem(sys.modules, "onnx", fake_onnx)
+
+    m = YOLO(TINY)
+    m._ensure_params(96)
+    p = m.export(format="onnx", imgsz=96, batch=1, project=str(tmp_path),
+                 opset=13)
+    assert p.endswith("model.onnx") and Path(p).read_bytes() == b"fake-onnx"
+    assert calls["opset"] == 13 and calls["output_path"] == p
+    sig = calls["sig"][0]
+    assert tuple(sig.shape) == (1, 96, 96, 3) and sig.dtype.name == "uint8"
+    meta = json.loads(Path(p + ".json").read_text())
+    assert meta["task"] == "detect" and meta["imgsz"] == 96
