@@ -35,18 +35,52 @@ VID_FORMATS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".mpg", ".mpeg"}
 
 
 def load_source(source, vid_stride=1):
-    """Yield (path, BGR image, meta) for a file/dir/list/ndarray/video source
-    (counterpart of ultralytics/data/loaders.py LoadImages incl. video frames).
+    """Yield (path, BGR image, meta) for any inference source: file / dir /
+    list / ndarray / video (counterpart of ultralytics/data/loaders.py
+    LoadImages), plus webcam index / RTSP-RTMP-HTTP URL / .streams list file
+    (LoadStreams, loaders.py:31-117), "screen" capture (LoadScreenshots,
+    :119-160), and in-memory PIL images / CHW tensors (LoadPilAndNumpy /
+    LoadTensor, :270-311).
 
-    meta is None for still images; for video frames it is
-    (frame_idx, fps, total_frames) so the caller can mux output video."""
+    meta is None for still images; for video/stream frames it is
+    (frame_idx, fps, total_frames) so the caller can mux output video
+    (total_frames=0 when unbounded)."""
     import cv2
+    from ..data.loaders import (LoadScreenshots, LoadStreams,
+                                is_stream_source, pil_to_bgr,
+                                tensor_to_bgr_list)
     if isinstance(source, np.ndarray):
         yield "array", source, None
+        return
+    # PIL image (reference LoadPilAndNumpy)
+    if type(source).__module__.startswith("PIL") and hasattr(source, "mode"):
+        yield "pil", pil_to_bgr(source), None
+        return
+    # torch / jax CHW-RGB tensor (reference LoadTensor)
+    if (hasattr(source, "__array__") and hasattr(source, "ndim")
+            and getattr(source, "ndim", 0) in (3, 4)
+            and not isinstance(source, np.ndarray)):
+        for i, img in enumerate(tensor_to_bgr_list(source)):
+            yield f"tensor{i}", img, None
         return
     if isinstance(source, (list, tuple)):
         for s in source:
             yield from load_source(s, vid_stride)
+        return
+    # live streams: webcam index / URL / .streams file
+    if is_stream_source(source):
+        streams = LoadStreams(source, vid_stride=vid_stride)
+        try:
+            for paths, frames, metas in streams:
+                for pth, f, m in zip(paths, frames, metas):
+                    yield pth, f, m
+        finally:
+            streams.close()
+        return
+    if isinstance(source, str) and source.strip().lower().startswith("screen"):
+        yield from ((p, f, m) for paths, frames, metas
+                    in LoadScreenshots(source)
+                    for p, f, m in zip(paths, frames, metas))
         return
     p = Path(source)
     if p.is_dir():
