@@ -125,12 +125,27 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
-    print(json.dumps({
+    rec = {
         "metric": "images/sec/chip fused enhance+detect+NMS @640 bf16 (Dedark-YOLOv8L+ASFF); vs_baseline divides by a 100 img/s GPU STAND-IN (assumed; reference publishes no number)",
         "value": round(ips, 2),
         "unit": "img/s",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    # second, MEASURED anchor: the full reference stack on THIS host (torch
+    # CPU, flagship 640 fp32, its own predict-phase timers) — produced by
+    # scripts/reference_speed.py (VERDICT r3 next #3)
+    ref_json = Path(__file__).parent / "runs/refspeed.json"
+    if ref_json.is_file():
+        ref = json.loads(ref_json.read_text())
+        ref_ips = float(ref.get("predict_img_per_s") or 0)
+        if ref_ips > 0:
+            rec["vs_measured_reference_cpu"] = round(ips / ref_ips, 1)
+            rec["measured_reference_cpu_img_per_s"] = ref_ips
+            rec["metric"] += (f"; vs_measured_reference_cpu divides by the "
+                              f"MEASURED {ref_ips} img/s of the reference "
+                              f"stack on this host (torch CPU predict, "
+                              f"runs/refspeed.json)")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
