@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import csv
 import math
+import os
 import time
 from pathlib import Path
 
@@ -37,7 +38,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT, yaml_save
-from .optim import init_opt_state, opt_update, label_params
+from .optim import (init_opt_state, opt_update, label_params,
+                    flatten_for_opt, flat_spec, fused_init_opt_state,
+                    fused_opt_update, fused_ema_update,
+                    fused_state_from_tree, fused_state_to_tree,
+                    tree_to_flat, flat_to_tree)
 from ..data import (YOLODataset, DataLoader, TrainTransforms,
                     check_det_dataset)
 from ..losses import detection_loss
@@ -271,23 +276,40 @@ class BaseTrainer:
         accumulate = self.accumulate
         wd = self.weight_decay
         kind = self.opt_name
+        spec = self._opt_spec  # FlatSpec when the fused optimizer is active
+        bs_spec = getattr(self, "_bs_spec", None)
 
         def train_step(params, batch_stats, opt_state, ema, ema_updates,
                        batch, lr_bias, lr, momentum):
             (total, (items, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch_stats, batch)
-            params, opt_state, applied = opt_update(
-                params, grads, opt_state, labels, kind=kind, lr_bias=lr_bias,
-                lr=lr, momentum=momentum, weight_decay=wd, accumulate=accumulate)
             # EMA advances only on applied optimizer steps (reference calls
             # ema.update inside optimizer_step) and averages batch_stats too
             # (ModelEMA averages all floating buffers, torch_utils.py:360-366)
-            cur = {"params": params, "batch_stats": new_stats}
-            ema, ema_updates = jax.lax.cond(
-                applied,
-                lambda t: ema_update(t[0], cur, t[1]),
-                lambda t: t,
-                (ema, ema_updates))
+            if spec is not None:
+                # flat fused update + flat EMA: a handful of big elementwise
+                # kernels instead of ~750 leaf-sized tile-padded ones — the
+                # treewise pair costs ~190 ms on-chip at yolov8l scale, the
+                # fused pair <2 ms (scripts/bench_opt.py)
+                params, opt_state, applied, p_flat = fused_opt_update(
+                    params, grads, opt_state, spec, kind=kind,
+                    lr_bias=lr_bias, lr=lr, momentum=momentum,
+                    weight_decay=wd, accumulate=accumulate, return_flat=True)
+                ema_p, ema_bs, ema_updates = fused_ema_update(
+                    ema["params"], ema["batch_stats"], p_flat,
+                    tree_to_flat(new_stats, bs_spec), ema_updates, applied)
+                ema = {"params": ema_p, "batch_stats": ema_bs}
+            else:
+                params, opt_state, applied = opt_update(
+                    params, grads, opt_state, labels, kind=kind,
+                    lr_bias=lr_bias, lr=lr, momentum=momentum,
+                    weight_decay=wd, accumulate=accumulate)
+                cur = {"params": params, "batch_stats": new_stats}
+                ema, ema_updates = jax.lax.cond(
+                    applied,
+                    lambda t: ema_update(t[0], cur, t[1]),
+                    lambda t: t,
+                    (ema, ema_updates))
             return params, new_stats, opt_state, ema, ema_updates, total, items
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
@@ -395,8 +417,23 @@ class BaseTrainer:
 
         self.build_optimizer(nb)
         labels = label_params(params)
-        opt_state = init_opt_state(params)
-        ema = {"params": ema_init(params), "batch_stats": ema_init(batch_stats)}
+        # fused flat-buffer optimizer by default (DEDARK_FUSED_OPT=0 falls
+        # back to the treewise path; both are numerically identical modulo
+        # grad-norm reduction order — tests/test_optim_fused.py)
+        self._opt_spec = (flatten_for_opt(params, labels)
+                          if os.environ.get("DEDARK_FUSED_OPT", "1") != "0"
+                          else None)
+        if self._opt_spec is not None:
+            opt_state = fused_init_opt_state(params, self._opt_spec)
+            # EMA rides flat buffers too (checkpoints stay treewise on disk;
+            # _ema_trees converts at val/ckpt boundaries once per epoch)
+            self._bs_spec = flat_spec(batch_stats)
+            ema = {"params": tree_to_flat(params, self._opt_spec),
+                   "batch_stats": tree_to_flat(batch_stats, self._bs_spec)}
+        else:
+            opt_state = init_opt_state(params)
+            ema = {"params": ema_init(params),
+                   "batch_stats": ema_init(batch_stats)}
         ema_updates = jnp.zeros((), jnp.int32)
 
         start_epoch = 0
@@ -505,7 +542,7 @@ class BaseTrainer:
                         # construct ONCE: the jitted val step is cached on the
                         # validator, so per-epoch val reuses one compiled graph
                         self._validator = self.get_validator()
-                    vp, vb = ema["params"], ema["batch_stats"]
+                    vp, vb = self._ema_trees(ema)
                     if multi_process and self.val_mesh is None:
                         # EMA lives on the GLOBAL multi-process mesh; a
                         # process-0-only jit over those arrays would span
@@ -585,8 +622,8 @@ class BaseTrainer:
             meta, flat = load_checkpoint(best)
             if meta["epoch"] != epoch:  # best == last: per-epoch val already ran
                 LOGGER.info(f"validating best.npz (epoch {meta['epoch'] + 1})")
-                bp = restore_tree(flat, "ema", ema["params"])
-                bbs = restore_tree(flat, "ema_bs", ema["batch_stats"])
+                bp = restore_tree(flat, "ema", params)
+                bbs = restore_tree(flat, "ema_bs", batch_stats)
                 self.metrics = self._validator(model=model, params=bp,
                                                batch_stats=bbs,
                                                mesh=self.val_mesh)
@@ -626,6 +663,19 @@ class BaseTrainer:
                 w.writerow(keys)
             w.writerow(vals)
 
+    def _ema_trees(self, ema):
+        """EMA (params, batch_stats) as pytrees. Under the fused path the EMA
+        lives in flat buffers; this converts once per epoch via a cached jit
+        (eager per-leaf slicing would cost one dispatch per leaf)."""
+        if self._opt_spec is None:
+            return ema["params"], ema["batch_stats"]
+        if not hasattr(self, "_ema_tree_fn"):
+            spec, bspec = self._opt_spec, self._bs_spec
+            self._ema_tree_fn = jax.jit(
+                lambda e: (flat_to_tree(e["params"], spec),
+                           flat_to_tree(e["batch_stats"], bspec)))
+        return self._ema_tree_fn(ema)
+
     def _gather_host(self, tree):
         # jax.device_get issues async copies for every leaf before blocking —
         # one overlapped transfer instead of a serial per-leaf round trip
@@ -639,19 +689,30 @@ class BaseTrainer:
         # these buffers), but npz compression + file IO are pure host work —
         # they run on a single background writer thread so the train loop only
         # pays the gather, not the write (reference torch.save blocks the loop)
+        ema_p, ema_bs = self._ema_trees(ema)
         common = dict(
             params=self._gather_host(params),
             batch_stats=self._gather_host(batch_stats),
-            ema_params=self._gather_host(ema["params"]),
-            ema_batch_stats=self._gather_host(ema["batch_stats"]),
+            ema_params=self._gather_host(ema_p),
+            ema_batch_stats=self._gather_host(ema_bs),
             epoch=epoch, best_fitness=self.best_fitness,
             updates=int(ema_updates),
             train_args=dict(vars(self.args)), model_yaml=self.model.yaml)
         # last.npz carries optimizer state for exact resume (reference
         # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
-        # reference's strip_optimizer deployment checkpoints)
+        # reference's strip_optimizer deployment checkpoints). The fused
+        # optimizer converts to the treewise layout on save so the on-disk
+        # format is identical either way (resume works across both paths)
+        if self._opt_spec is not None:
+            if not hasattr(self, "_fused_to_tree"):
+                spec = self._opt_spec
+                self._fused_to_tree = jax.jit(
+                    lambda s: fused_state_to_tree(s, spec))
+            opt_host = self._gather_host(self._fused_to_tree(opt_state))
+        else:
+            opt_host = self._gather_host(opt_state)
         self._ckpt_async(self.wdir / "last.npz",
-                         dict(opt_state=self._gather_host(opt_state), **common))
+                         dict(opt_state=opt_host, **common))
         if improved:
             self._ckpt_async(self.wdir / "best.npz", dict(common))
         if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
@@ -697,12 +758,25 @@ class BaseTrainer:
         meta, flat = load_checkpoint(ckpt)
         params = restore_tree(flat, "params", params)
         batch_stats = restore_tree(flat, "batch_stats", batch_stats)
-        ema = {"params": restore_tree(flat, "ema", ema["params"]),
-               "batch_stats": (restore_tree(flat, "ema_bs", ema["batch_stats"])
-                               if any(k.startswith("ema_bs/") for k in flat)
-                               else batch_stats)}
+        # checkpoints hold treewise EMA; restore into param/stat-shaped
+        # templates and re-flatten when the fused path is active
+        ema_p = restore_tree(flat, "ema", params)
+        ema_bs = (restore_tree(flat, "ema_bs", batch_stats)
+                  if any(k.startswith("ema_bs/") for k in flat)
+                  else batch_stats)
+        if self._opt_spec is not None:
+            ema = {"params": tree_to_flat(ema_p, self._opt_spec),
+                   "batch_stats": tree_to_flat(ema_bs, self._bs_spec)}
+        else:
+            ema = {"params": ema_p, "batch_stats": ema_bs}
         if any(k.startswith("opt/") for k in flat):
-            opt_state = restore_tree(flat, "opt", opt_state)
+            # checkpoints always hold the treewise layout; restore into a
+            # tree template and convert if the fused path is active
+            tree_tmpl = (fused_state_to_tree(opt_state, self._opt_spec)
+                         if self._opt_spec is not None else opt_state)
+            tree_st = restore_tree(flat, "opt", tree_tmpl)
+            opt_state = (fused_state_from_tree(tree_st, self._opt_spec)
+                         if self._opt_spec is not None else tree_st)
         ema_updates = jnp.asarray(meta["updates"], jnp.int32)
         self.best_fitness = meta["best_fitness"]
         start = meta["epoch"] + 1

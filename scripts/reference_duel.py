@@ -54,13 +54,13 @@ def load_ours(ckpt, data_yaml, imgsz, batch):
     return res, m
 
 
-def build_reference_model(ultra, model_yaml, nc, names):
+def build_reference_model(ultra, model_yaml, nc, names, scale="n"):
     import yaml as pyyaml
 
     from ultralytics.nn.tasks import DetectionModel as RefDetectionModel
 
     cfg = pyyaml.safe_load(Path(model_yaml).read_text())
-    cfg["scale"] = "n"
+    cfg["scale"] = scale
     ref = RefDetectionModel(cfg, ch=3, nc=nc, verbose=False)
     ref.names = names
     return ref
@@ -137,6 +137,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--model-yaml",
                     default="dedark_yolo_tpu/cfg/models/yolov8-dedark.yaml")
+    ap.add_argument("--scale", default="n",
+                    help="compound scale for the reference build; 'l' + "
+                         "--model-yaml .../yolov8.yaml = the ASFF flagship")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json-out", default="runs/refduel/duel.json")
     args = ap.parse_args()
@@ -172,7 +175,8 @@ def main():
         {i: str(i) for i in range(d["nc"])}
 
     print("== building reference model + loading exported weights ==")
-    ref_model = build_reference_model(ultra, args.model_yaml, d["nc"], names)
+    ref_model = build_reference_model(ultra, args.model_yaml, d["nc"], names,
+                                      scale=args.scale)
     n_loaded = load_weights_into_reference(ref_model, our_yolo)
     print(f"loaded {n_loaded} tensors into the reference model")
 
@@ -200,6 +204,7 @@ def main():
         "forward_parity": {"max_box_err_px": box_err,
                            "max_cls_err": cls_err},
         "config": {"ckpt": args.ckpt, "imgsz": args.imgsz,
+                   "model_yaml": args.model_yaml, "scale": args.scale,
                    "conf": 0.001, "iou": 0.7, "max_det": 300},
     }
     print(json.dumps(row, indent=2))

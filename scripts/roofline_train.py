@@ -70,6 +70,18 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--whole-only", action="store_true",
+                    help="skip the per-stage prefixes; time only the three "
+                         "whole-step programs (fast A/B, e.g. --remat)")
+    ap.add_argument("--stages", default="",
+                    help="comma-separated layer indices to use as prefix "
+                         "boundaries instead of the default coarse stages "
+                         "(e.g. '0,1,2,3,4,5' to split the backbone stem)")
+    ap.add_argument("--stages-only", action="store_true",
+                    help="skip the whole-step programs (fast stage probes)")
+    ap.add_argument("--treewise-opt", action="store_true",
+                    help="full step with the legacy per-leaf optimizer/EMA "
+                         "instead of the fused flat-buffer production path")
     ap.add_argument("--json-out", default="runs/roofline_train.json")
     args = ap.parse_args()
 
@@ -77,8 +89,12 @@ def main():
     import jax.numpy as jnp
 
     from dedark_yolo_tpu.cfg import model_yaml_load
-    from dedark_yolo_tpu.engine.optim import (init_opt_state, label_params,
-                                              opt_update)
+    from dedark_yolo_tpu.engine.optim import (flat_spec, flatten_for_opt,
+                                              fused_ema_update,
+                                              fused_init_opt_state,
+                                              fused_opt_update,
+                                              init_opt_state, label_params,
+                                              opt_update, tree_to_flat)
     from dedark_yolo_tpu.losses import detection_loss
     from dedark_yolo_tpu.nn.graph import DetectionModel
     from dedark_yolo_tpu.ops.degrade import lowlight_degrade
@@ -113,7 +129,9 @@ def main():
     # ---- per-stage fwd+bwd: grad of sum(prefix output) wrt params ----------
     rows = []
     prev_ms, prev_flops = 0.0, 0.0
-    for upto, name in STAGES:
+    stage_list = ([(int(s), f"layer {s}") for s in args.stages.split(",")]
+                  if args.stages else STAGES)
+    for upto, name in ([] if args.whole_only else stage_list):
         def prefix_loss(p, eps, _upto=upto):
             clean = img_u8.astype(jnp.float32) / 255.0 + eps
             img = lowlight_degrade(clean, 5.0)
@@ -126,11 +144,10 @@ def main():
 
         def gstep(p, eps, _fn=prefix_loss):
             val, g = jax.value_and_grad(_fn)(p, eps)
-            # tiny readback proxy: val + one grad leaf; full grads stay
-            # on device (reading 43M params back over the tunnel would
-            # swamp the timing)
-            leaf = jax.tree_util.tree_leaves(g)[0]
-            return val + jnp.sum(leaf.astype(jnp.float32))
+            # consume every grad leaf (sum-reduce on device, scalar back):
+            # touching only one leaf lets XLA DCE the other layers' dW convs
+            return val + sum(jnp.sum(t.astype(jnp.float32))
+                             for t in jax.tree_util.tree_leaves(g))
 
         print(f"compiling grad prefix upto={upto} ({name})...", flush=True)
         jf = jax.jit(gstep)
@@ -184,8 +201,11 @@ def main():
 
     def grad_only(p, eps):
         (total, _), g = jax.value_and_grad(base_loss, has_aux=True)(p, eps)
-        leaf = jax.tree_util.tree_leaves(g)[0]
-        return total + jnp.sum(leaf.astype(jnp.float32))
+        # consume EVERY grad leaf: reading back only one lets XLA dead-code
+        # -eliminate the other layers' dW convs (~1/3 of bwd FLOPs), which
+        # then get misattributed to the opt+EMA delta in `derived`
+        return total + sum(jnp.sum(t.astype(jnp.float32))
+                           for t in jax.tree_util.tree_leaves(g))
 
     jf_grad = jax.jit(grad_only)
     ms, flops, cs = time_jitted(
@@ -214,19 +234,38 @@ def main():
             lf = jax.checkpoint(
                 lf, policy=jax.checkpoint_policies.nothing_saveable)
         (total, new_stats), g = jax.value_and_grad(lf, has_aux=True)(p)
-        p, opt, _ = opt_update(p, g, opt, labels, kind="sgd",
-                               lr_bias=jnp.float32(0.01),
-                               lr=jnp.float32(0.01),
-                               momentum=jnp.float32(0.937), accumulate=1)
-        ema, eu = ema_update(ema, {"params": p, "batch_stats": new_stats},
-                             eu)
+        if args.treewise_opt:
+            p, opt, _ = opt_update(p, g, opt, labels, kind="sgd",
+                                   lr_bias=jnp.float32(0.01),
+                                   lr=jnp.float32(0.01),
+                                   momentum=jnp.float32(0.937), accumulate=1)
+            ema, eu = ema_update(ema, {"params": p,
+                                       "batch_stats": new_stats}, eu)
+        else:
+            # production path (engine/trainer.py train_step): fused flat
+            # optimizer + fused flat EMA over params and batch_stats
+            p, opt, applied, p_flat = fused_opt_update(
+                p, g, opt, spec, kind="sgd", lr_bias=jnp.float32(0.01),
+                lr=jnp.float32(0.01), momentum=jnp.float32(0.937),
+                accumulate=1, return_flat=True)
+            ema_p, ema_b, eu = fused_ema_update(
+                ema["params"], ema["batch_stats"], p_flat,
+                tree_to_flat(new_stats, bspec), eu, applied)
+            ema = {"params": ema_p, "batch_stats": ema_b}
         return p, new_stats, opt, ema, eu, total
 
     jf_full = jax.jit(full_step, donate_argnums=(0, 1, 2, 3))
 
-    state = {"p": params, "bs": batch_stats,
-             "opt": init_opt_state(params),
-             "ema": ema_init({"params": params, "batch_stats": batch_stats}),
+    spec = flatten_for_opt(params, labels)
+    bspec = flat_spec(batch_stats)
+    if args.treewise_opt:
+        opt0 = init_opt_state(params)
+        ema0 = ema_init({"params": params, "batch_stats": batch_stats})
+    else:
+        opt0 = fused_init_opt_state(params, spec)
+        ema0 = {"params": tree_to_flat(params, spec),
+                "batch_stats": tree_to_flat(batch_stats, bspec)}
+    state = {"p": params, "bs": batch_stats, "opt": opt0, "ema": ema0,
              "eu": jnp.zeros((), jnp.int32)}
 
     def call_full(i):
