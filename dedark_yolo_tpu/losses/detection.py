@@ -49,9 +49,15 @@ def _df_loss(pred_dist_logits, target, reg_max):
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist_logits, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None],
-                                axis=-1).squeeze(-1)
+    # one-hot contraction instead of take_along_axis: bit-identical (a single
+    # nonzero term per row), but the TPU gather serializes in fwd AND lowers
+    # to a scatter in bwd — 26.5 -> 1.7 ms fwd at train shapes, and the bwd
+    # becomes a dense elementwise product (scripts/bench_loss.py)
+    oh_l = jax.nn.one_hot(tl, reg_max, dtype=logp.dtype)
+    oh_r = jax.nn.one_hot(jnp.clip(tr, 0, reg_max - 1), reg_max,
+                          dtype=logp.dtype)
+    ce_l = -jnp.sum(logp * oh_l, axis=-1)
+    ce_r = -jnp.sum(logp * oh_r, axis=-1)
     return jnp.mean(ce_l * wl + ce_r * wr, axis=-1, keepdims=True)
 
 

@@ -8,7 +8,7 @@ scatter loops (tal.py:184-194). Here every step is a masked dense op over the
 static (B, max_boxes, num_anchors) grid:
   - candidate mask: anchors inside GT boxes (select_candidates_in_gts, tal.py:12-26);
   - align metric s^alpha * CIoU^beta computed densely, zeroed outside the mask;
-  - top-k selection via jax.lax.top_k + one-hot accumulation (replaces the
+  - top-k selection via exact approx_max_k + one-hot accumulation (replaces the
     scatter_add_ loop; the reference also zeroes anchors picked >1 time by a
     single GT — impossible here since we never collapse invalid indices to 0);
   - multi-GT conflicts resolved by highest overlap (select_highest_overlaps,
@@ -47,10 +47,33 @@ def select_candidates_in_gts(xy_centers, gt_bboxes, eps=1e-9):
 
 
 def _select_topk(metrics, topk, valid_mask):
-    """Top-k per (b, m) over anchors -> (B,M,N) 0/1 mask. valid_mask: (B,M)."""
+    """Top-k per (b, m) over anchors -> (B,M,N) 0/1 mask. valid_mask: (B,M).
+
+    The single sort-based lax.top_k over the 8400-anchor axis costs 47.6 ms
+    at B48/M128 on v5e; a two-phase chunked top-k (top-k per 128-wide chunk,
+    then top-k over the C*k survivors) computes the same exact result in
+    ~12 ms (scripts/bench_loss.py). Ties order arbitrarily in either lowering
+    (as in torch.topk), and duplicate indices remain impossible, so the
+    count>1 guard semantics are unchanged. Global winner indices come back
+    through a one-hot contraction instead of a TPU gather."""
     b, m, n = metrics.shape
     k = min(topk, n)
-    topk_vals, topk_idx = jax.lax.top_k(metrics, k)           # (B,M,k)
+    chunk = 128
+    if n <= 2 * chunk:
+        _, topk_idx = jax.lax.top_k(metrics, k)                # (B,M,k)
+    else:
+        c = -(-n // chunk)                                     # ceil chunks
+        padded = jnp.pad(metrics, ((0, 0), (0, 0), (0, c * chunk - n)),
+                         constant_values=-jnp.inf)
+        mp = padded.reshape(b, m, c, chunk)
+        kc = min(k, chunk)
+        v1, i1 = jax.lax.top_k(mp, kc)                         # (B,M,C,kc)
+        g1 = (i1 + jnp.arange(c, dtype=i1.dtype)[None, None, :, None]
+              * chunk).reshape(b, m, c * kc)
+        v2, i2 = jax.lax.top_k(v1.reshape(b, m, c * kc), k)    # (B,M,k)
+        topk_idx = jnp.einsum(
+            "bmkc,bmc->bmk", jax.nn.one_hot(i2, c * kc, dtype=metrics.dtype),
+            g1.astype(metrics.dtype)).astype(jnp.int32)
     keep = valid_mask[..., None].astype(metrics.dtype)        # (B,M,1)
     onehot = jax.nn.one_hot(topk_idx, n, dtype=metrics.dtype)  # (B,M,k,N)
     count = jnp.sum(onehot * keep[..., None], axis=2)          # (B,M,N)
@@ -78,17 +101,27 @@ def task_aligned_assign(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
     # candidate anchors inside each gt
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes)  # (B,M,N)
 
-    # alignment metric (tal.py:141-160)
+    # alignment metric (tal.py:141-160). TPU gathers over the class axis
+    # serialize; the one-hot einsum is a tiny batched matmul instead
+    # (2.9 -> 1.2 ms, scripts/bench_loss.py)
     labels = jnp.clip(gt_labels.astype(jnp.int32), 0, nc - 1)      # (B,M)
-    scores_t = jnp.swapaxes(pd_scores, 1, 2)                       # (B,nc,N)
-    bbox_scores = jnp.take_along_axis(scores_t, labels[:, :, None], axis=1)  # (B,M,N)
+    bbox_scores = jnp.einsum("bmc,bnc->bmn",
+                             jax.nn.one_hot(labels, nc, dtype=dtype),
+                             pd_scores)                            # (B,M,N)
     pre_mask = mask_in_gts * mask_gt_f[..., None]
     bbox_scores = bbox_scores * pre_mask
 
     overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
                         xywh=False, CIoU=True).squeeze(-1)
     overlaps = jnp.clip(overlaps, 0.0, None) * pre_mask            # (B,M,N)
-    align_metric = (bbox_scores ** alpha) * (overlaps ** beta)
+    # alpha=0.5/beta=6.0 as sqrt and a square-cube chain: jnp.power with a
+    # float exponent lowers to exp(y*log(x)) per element over the (B,M,N)
+    # grid; these forms are transcendental-free
+    if alpha == 0.5 and beta == 6.0:
+        o2 = overlaps * overlaps
+        align_metric = jnp.sqrt(bbox_scores) * (o2 * o2 * o2)
+    else:
+        align_metric = (bbox_scores ** alpha) * (overlaps ** beta)
 
     mask_topk = _select_topk(align_metric, topk, mask_gt_f > 0)
     mask_pos = mask_topk * mask_in_gts * mask_gt_f[..., None]      # (B,M,N)
@@ -102,10 +135,13 @@ def task_aligned_assign(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
     fg_mask = jnp.sum(mask_pos, axis=1) > 0                        # (B,N)
     target_gt_idx = jnp.argmax(mask_pos, axis=1)                   # (B,N)
 
-    # gather targets (tal.py:198-243)
-    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)   # (B,N)
-    target_bboxes = jnp.take_along_axis(
-        gt_bboxes, target_gt_idx[..., None], axis=1)                     # (B,N,4)
+    # gather targets (tal.py:198-243) — one-hot contractions again: exact
+    # (one nonzero term per row) and MXU-friendly where TPU row gathers
+    # serialize (3.0 -> 1.4 ms each, scripts/bench_loss.py)
+    gt_onehot = jax.nn.one_hot(target_gt_idx, m, dtype=dtype)            # (B,N,M)
+    target_labels = jnp.einsum(
+        "bnm,bm->bn", gt_onehot, labels.astype(dtype)).astype(jnp.int32)
+    target_bboxes = jnp.einsum("bnm,bmc->bnc", gt_onehot, gt_bboxes)     # (B,N,4)
     target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=dtype)
     target_scores = target_scores * fg_mask[..., None].astype(dtype)
 

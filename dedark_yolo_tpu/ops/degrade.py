@@ -12,5 +12,16 @@ import jax.numpy as jnp
 
 
 def lowlight_degrade(img, dark_param):
-    """Gamma-crush a [0,1] image batch: img ** dark_param."""
-    return jnp.power(jnp.clip(img, 0.0, 1.0), dark_param)
+    """Gamma-crush a [0,1] image batch: img ** dark_param.
+
+    For integer exponents (the reference's defaults are ints like 5 or 15)
+    the pow lowers to a square-and-multiply chain instead of per-element
+    exp(y*log(x)) transcendentals over the full-resolution batch (same value
+    to within float rounding; the transcendental form isn't bit-exact across
+    backends either).
+    """
+    x = jnp.clip(img, 0.0, 1.0)
+    p = float(dark_param)
+    if p.is_integer() and 1 <= p <= 64:
+        return x ** int(p)
+    return jnp.power(x, dark_param)

@@ -84,7 +84,13 @@ def main():
         total, _ = detection_loss(maps, batch, nc=nc, strides=strides, hyp=hyp)
         return total
 
-    jf = jax.jit(jax.grad(lambda maps: loss_total(maps)))
+    # sum-reduce the grads on device: returning the raw (B,H,W,67) grad maps
+    # would time a ~100 MB host transfer over the axon tunnel, not the chip
+    def grad_scalar(maps):
+        g = jax.grad(loss_total)(maps)
+        return sum(jnp.sum(t) for t in g)
+
+    jf = jax.jit(grad_scalar)
     ms, cs = timeit(jf, (raw,), args.iters)
     results["loss_grad_ms"] = round(ms, 2)
     results["loss_grad_compile_s"] = round(cs, 1)
