@@ -58,12 +58,19 @@ class PoseTrainer(BaseTrainer):
         self.kpt_shape = model_kpt_shape(model)
         return model
 
+    def build_train_dataset(self):
+        if getattr(self, "train_ds", None) is None:
+            a = self.args
+            self.train_ds = PoseDataset(self.data["train"], imgsz=a.imgsz,
+                                        nc=self.data["nc"],
+                                        kpt_shape=self.kpt_shape)
+        return self.train_ds
+
     def build_train_loader(self):
         a = self.args
         nk = self.kpt_shape[0]
         from ..data.pose import PoseTrainTransforms
-        ds = PoseDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"],
-                         kpt_shape=self.kpt_shape)
+        ds = self.build_train_dataset()
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "hsv_h", "hsv_s", "hsv_v", "degrees",
                     "translate", "scale", "shear", "perspective",
@@ -131,6 +138,8 @@ class PoseValidator:
         nk = kpt_shape[0]
         ds = PoseDataset(data[a.split], imgsz=a.imgsz, nc=data["nc"],
                          kpt_shape=kpt_shape)
+        from .validator import resolve_val_max_boxes
+        resolve_val_max_boxes(a, ds)
         conf = float(a.conf if a.conf is not None else 0.001)
         sigmas = (np.asarray(OKS_SIGMA) if nk == 17
                   else np.ones(nk, np.float32) / nk)

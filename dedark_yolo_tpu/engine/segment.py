@@ -42,10 +42,17 @@ class SegmentationTrainer(BaseTrainer):
         assert model.task == "segment", "model yaml lacks a Segment head"
         return model
 
+    def build_train_dataset(self):
+        if getattr(self, "train_ds", None) is None:
+            a = self.args
+            self.train_ds = SegmentDataset(self.data["train"], imgsz=a.imgsz,
+                                           nc=self.data["nc"])
+        return self.train_ds
+
     def build_train_loader(self):
         a = self.args
         from ..data.segment import SegTrainTransforms
-        ds = SegmentDataset(self.data["train"], imgsz=a.imgsz, nc=self.data["nc"])
+        ds = self.build_train_dataset()
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
                     "degrees", "translate", "scale", "shear", "perspective",
@@ -108,6 +115,8 @@ class SegmentationValidator:
         from ..data import check_det_dataset
         data = self.data or check_det_dataset(a.data)
         ds = SegmentDataset(data[a.split], imgsz=a.imgsz, nc=data["nc"])
+        from .validator import resolve_val_max_boxes
+        resolve_val_max_boxes(a, ds)
         conf = float(a.conf if a.conf is not None else 0.001)
         orig_shapes = ds.image_shapes()   # native (h, w) per image
         save_json = bool(getattr(a, "save_json", False))

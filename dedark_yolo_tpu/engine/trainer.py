@@ -198,11 +198,47 @@ class BaseTrainer:
         d = self.model_cfg_dict()
         return DetectionModel(d, nc=self.data["nc"],
                               contrast_mode=getattr(self.args, "contrast_mode",
-                                                    "channel"))
+                                                    "channel"),
+                              remat_upto=int(getattr(self.args, "remat", -1)))
 
     def build_train_loader(self):
         """Return a loader: len(), set_epoch(e), iter -> fixed-shape batch."""
         raise NotImplementedError
+
+    def build_train_dataset(self):
+        """Construct (and cache as self.train_ds) the training dataset only —
+        used by auto max_boxes resolution before the loader exists."""
+        raise NotImplementedError
+
+    def _resolve_max_boxes(self):
+        """max_boxes=0 -> derive the static label-padding ceiling from the
+        dataset's own label counts (the scan cache already knows them).
+
+        The reference pads per-batch dynamically (collate_fn ragged cat); a
+        fixed 128 ceiling both WASTES (B,M,N) assigner work on sparse datasets
+        and silently TRUNCATES dense mosaic composites (mosaic4 stacks the
+        labels of 4 images, +mixup doubles that, copy_paste can double
+        instances again). The bound is worst-case exact: the top-k per-image
+        counts summed, k = mosaic_n x (2 if mixup) with a copy_paste x2,
+        rounded up to a multiple of 8 (TPU sublane) and clamped to [8, 1024].
+        """
+        a = self.args
+        if int(a.max_boxes) > 0 or self.task == "classify":
+            return
+        ds = self.build_train_dataset()
+        # labels: (n,5) arrays (detect) or per-instance tuple lists (seg/pose)
+        counts = sorted((len(lb) for lb in ds.labels), reverse=True)
+        k = 1
+        if getattr(a, "mosaic", 0.0) > 0:
+            k = 9 if getattr(self, "n_mosaic", 4) == 9 else 4
+        if getattr(a, "mixup", 0.0) > 0:
+            k *= 2
+        top = sum(counts[:k]) if counts else 1
+        if getattr(a, "copy_paste", 0.0) > 0:
+            top *= 2
+        a.max_boxes = int(np.clip(math.ceil(max(top, 1) / 8) * 8, 8, 1024))
+        LOGGER.info(f"auto max_boxes: {a.max_boxes} "
+                    f"(top-{k} label sum {top}, {len(counts)} images)")
 
     def make_loss_fn(self, model):
         """Return loss_fn(params, batch_stats, batch) ->
@@ -346,6 +382,9 @@ class BaseTrainer:
         # every weight doesn't stay alive for the whole run
         self._ckpt_cache = None
 
+        # resolve auto max_boxes BEFORE autobatch probes step memory (the
+        # dummy batch and the loss shapes both depend on it)
+        self._resolve_max_boxes()
         if a.batch < 0:
             a.batch = self._autobatch(model, params, batch_stats)
 
@@ -791,16 +830,22 @@ class DetectionTrainer(BaseTrainer):
     default_model = "yolov8l.yaml"
     loss_names = ("box", "cls", "dfl")
 
+    def build_train_dataset(self):
+        if getattr(self, "train_ds", None) is None:
+            a = self.args
+            self.train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz,
+                                        nc=self.data["nc"], cache=a.cache,
+                                        fraction=a.fraction,
+                                        single_cls=a.single_cls)
+        return self.train_ds
+
     def build_train_loader(self):
         a = self.args
         hyp_aug = {k: getattr(a, k) for k in
                    ("mosaic", "mixup", "copy_paste", "hsv_h", "hsv_s", "hsv_v",
                     "degrees", "translate", "scale", "shear", "perspective",
                     "flipud", "fliplr", "photometric")}
-        train_ds = YOLODataset(self.data["train"], imgsz=a.imgsz,
-                               nc=self.data["nc"], cache=a.cache,
-                               fraction=a.fraction, single_cls=a.single_cls)
-        self.train_ds = train_ds  # exposed for label-distribution plots
+        train_ds = self.build_train_dataset()  # exposed for label plots
         self.train_tf = TrainTransforms(hyp_aug, imgsz=a.imgsz)
         return DataLoader(train_ds, self.train_tf, a.batch,
                           max_boxes=a.max_boxes, seed=a.seed, workers=a.workers,

@@ -36,6 +36,19 @@ from ..ops.nms import non_max_suppression
 from ..utils import LOGGER, DetMetrics, ConfusionMatrix, match_predictions, increment_dir
 
 
+def resolve_val_max_boxes(args, ds):
+    """max_boxes=0 -> densest val image, rounded to the TPU sublane multiple.
+
+    Val applies no compositing augs, so the ceiling is the max per-image
+    label count. The val step is its own compiled program — independent of
+    whatever the trainer resolved for the mosaic'd train step."""
+    if int(args.max_boxes) > 0:
+        return
+    dens = max((len(lb) for lb in ds.labels), default=1)
+    args.max_boxes = int(min(max(-(-max(dens, 1) // 8) * 8, 8), 1024))
+    LOGGER.info(f"auto max_boxes (val): {args.max_boxes}")
+
+
 class DetectionValidator:
     def __init__(self, args=None, save_dir=None, data=None):
         self.args = args if args is not None else get_cfg(DEFAULT_CFG_DICT, {})
@@ -175,6 +188,7 @@ class DetectionValidator:
         nc = data["nc"]
         ds = YOLODataset(data[a.split], imgsz=a.imgsz, nc=nc,
                          single_cls=a.single_cls)
+        resolve_val_max_boxes(a, ds)
         if a.rect:
             # rect val: quantized aspect buckets, one static shape per bucket
             # (reference base.py:211-234 sorts by aspect; here each bucket gets

@@ -348,6 +348,16 @@ def _build_module(spec: LayerSpec, head: dict, enhance_impl: str = "xla",
     raise NotImplementedError(f"no builder for module '{name}'")
 
 
+def _module_call(m, x, train):
+    return m(x, train=train)
+
+
+# lifted remat of a single layer call: the backward rematerializes the
+# layer's internals instead of saving them (train arg static; BN batch_stats
+# updates pass through the lifted transform — pinned by tests/test_graph.py)
+_REMAT_CALL = nn.remat(_module_call, static_argnums=(2,))
+
+
 class YOLOGraph(nn.Module):
     """The whole detection network as one flax module.
 
@@ -361,6 +371,13 @@ class YOLOGraph(nn.Module):
     enhance_impl: str = "xla"  # 'pallas' = fused VMEM enhance kernel (eval path)
     contrast_mode: str = "channel"  # 'reference' = torch-fork bit-faithful contrast
     repconv_deploy: bool = False  # re-parameterized RepConv single-conv form
+    # layers with index <= remat_upto recompute their activations in the
+    # backward pass (jax.checkpoint via linen's lifted remat). The early
+    # high-resolution stages hold the largest saved activations (P1-P3 bf16
+    # maps, lane-padded 2x at 64ch) while being bandwidth-bound and cheap to
+    # recompute — rematting them trades ~free FLOPs for the HBM that caps the
+    # train batch size. -1 = off (inference never pays: no backward exists).
+    remat_upto: int = -1
 
     def setup(self):
         mods = []
@@ -421,12 +438,15 @@ class YOLOGraph(nn.Module):
                 raw = mod(inp, train=train)
                 y = raw
             else:
+                call = _module_call
+                if train and spec.i <= self.remat_upto:
+                    call = _REMAT_CALL
                 if spec.n > 1 and spec.name not in _REPEAT_BLOCKS:
                     y = inp
                     for m_i in mod:   # n distinct submodules chained
-                        y = m_i(y, train=train)
+                        y = call(m_i, y, train)
                 else:
-                    y = mod(inp, train=train)
+                    y = call(mod, inp, train)
             if spec.i in self.save:
                 saved[spec.i] = y
             if spec.i in capture:
@@ -447,7 +467,7 @@ class DetectionModel:
 
     def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False,
                  enhance_impl: str = "xla", contrast_mode: str = "channel",
-                 repconv_deploy: bool = False):
+                 repconv_deploy: bool = False, remat_upto: int = -1):
         import copy
         self.yaml = copy.deepcopy(cfg_dict)
         if nc and nc != self.yaml.get("nc"):
@@ -464,7 +484,8 @@ class DetectionModel:
                                 head=FrozenDict(self.head),
                                 enhance_impl=enhance_impl,
                                 contrast_mode=contrast_mode,
-                                repconv_deploy=repconv_deploy)
+                                repconv_deploy=repconv_deploy,
+                                remat_upto=remat_upto)
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):

@@ -70,6 +70,13 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-upto", type=int, default=-1,
+                    help="remat layers <= this index in bwd (segmented "
+                         "checkpointing; 5 covers the P1-P3 stem)")
+    ap.add_argument("--max-boxes", type=int, default=32,
+                    help="static GT padding (the production auto default "
+                         "resolves from the dataset; 128 was the old fixed "
+                         "ceiling)")
     ap.add_argument("--whole-only", action="store_true",
                     help="skip the per-stage prefixes; time only the three "
                          "whole-step programs (fast A/B, e.g. --remat)")
@@ -101,10 +108,10 @@ def main():
     from dedark_yolo_tpu.utils import ema_init, ema_update
 
     b, s = args.batch, args.imgsz
-    max_boxes = 32
+    max_boxes = args.max_boxes
     d = model_yaml_load("yolov8l.yaml")
     d["nc"] = 3
-    model = DetectionModel(d)
+    model = DetectionModel(d, remat_upto=args.remat_upto)
     print("init params...", flush=True)
     variables = model.init(jax.random.PRNGKey(0), imgsz=s)
     params, batch_stats = variables["params"], variables["batch_stats"]
