@@ -358,6 +358,17 @@ def _module_call(m, x, train):
 _REMAT_CALL = nn.remat(_module_call, static_argnums=(2,))
 
 
+def _enhance_call(m, x, dedark_A, IcA, train):
+    return m(x, dedark_A=dedark_A, IcA=IcA, train=train)
+
+
+# remat for the lowlight_recovery layer (its own call signature): the filter
+# chain saves many FULL-RESOLUTION residuals for its VJP (tx, per-stage x,
+# lum, blur — ~1 GB at b64/640 bf16) while its recompute is ~10 ms of
+# VPU work, so it is the cheapest HBM to reclaim in the whole graph
+_REMAT_ENHANCE = nn.remat(_enhance_call, static_argnums=(4,))
+
+
 class YOLOGraph(nn.Module):
     """The whole detection network as one flax module.
 
@@ -433,7 +444,9 @@ class YOLOGraph(nn.Module):
                     parts.extend(v) if isinstance(v, LazyConcat) else parts.append(v)
                 y = LazyConcat(parts) if L.ELIDE_CONCAT else jnp.concatenate(parts, axis=-1)
             elif spec.name == "lowlight_recovery":
-                y = mod(inp, dedark_A=dedark_A, IcA=IcA, train=train)
+                ecall = (_REMAT_ENHANCE if train and spec.i <= self.remat_upto
+                         else _enhance_call)
+                y = ecall(mod, inp, dedark_A, IcA, train)
             elif spec.name in _HEADS:
                 raw = mod(inp, train=train)
                 y = raw

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-upto", type=int, default=-1,
+                    help="selective remat: recompute layers <= this index in "
+                         "the backward (0 = just lowlight_recovery, whose "
+                         "saved full-res residuals are the cheapest HBM to "
+                         "reclaim; 5 = the P1-P3 stem too)")
     ap.add_argument("--priors", choices=("default", "computed"),
                     default="default",
                     help="dedark prior mode: 'default' = A=0.8/IcA=0.5 "
@@ -52,7 +57,7 @@ def main():
     max_boxes = 32
     d = model_yaml_load("yolov8l.yaml")
     d["nc"] = 3
-    model = DetectionModel(d)
+    model = DetectionModel(d, remat_upto=args.remat_upto)
     variables = model.init(jax.random.PRNGKey(0), imgsz=s)
     params, batch_stats = variables["params"], variables["batch_stats"]
     labels = label_params(params)
@@ -141,6 +146,7 @@ def main():
             dt = (time.perf_counter() - t0) / args.iters
             print(f"b{b}: {dt * 1e3:.1f} ms/step  {b / dt:.1f} img/s  "
                   f"(compile {compile_s:.0f}s, remat={args.remat}, "
+                  f"remat_upto={args.remat_upto}, "
                   f"{'fp32' if args.fp32 else 'bf16'})")
         except Exception as e:
             print(f"b{b}: FAILED ({type(e).__name__}: {str(e)[:200]})")
