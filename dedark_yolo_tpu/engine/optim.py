@@ -304,6 +304,98 @@ def fused_opt_update(params, grads, state: FusedOptState, spec: FlatSpec, *,
     return out + (p_flat,) if return_flat else out
 
 
+def make_unflatten_diff(spec: FlatSpec):
+    """Differentiable flat->tree view for the flat-master train step.
+
+    Forward is flat_to_tree (per-leaf slice+reshape — XLA fuses it into the
+    bf16 casts the loss applies anyway). The backward is defined EXACTLY as
+    tree_to_flat of the cotangent tree: the segments are disjoint and cover
+    [0, n), so the VJP of the slices (sum of pads) reduces to one
+    concatenate — one fused kernel instead of the ~250 padded adds XLA's
+    autodiff would emit. Built per-spec via closure because FlatSpec holds
+    numpy masks (unhashable for nondiff_argnums)."""
+
+    @jax.custom_vjp
+    def unflat(flat):
+        return flat_to_tree(flat, spec)
+
+    def fwd(flat):
+        return flat_to_tree(flat, spec), None
+
+    def bwd(_, ct):
+        return (tree_to_flat(ct, spec),)
+
+    unflat.defvjp(fwd, bwd)
+    return unflat
+
+
+def fused_opt_update_flat(p_flat, g_flat, state: FusedOptState, *,
+                          kind="sgd", lr_bias, lr, momentum,
+                          weight_decay=0.0005, accumulate=1, clip_norm=10.0,
+                          nesterov=True, b2=0.999, eps=1e-8):
+    """Boundary-free twin of fused_opt_update: params AND grads arrive as
+    flat fp32 vectors and the updated params leave flat.
+
+    fused_opt_update still pays three per-leaf copy boundaries per step
+    (tree_to_flat(grads), tree_to_flat(params), flat_to_tree(new params) —
+    ~250 tile-padded slice/concat pieces each). When the trainer carries the
+    master params flat across steps and differentiates THROUGH flat_to_tree
+    (the slice VJP accumulates the gradient directly into one flat buffer),
+    none of those boundaries exist and the whole opt step is pure fused
+    elementwise math. At accumulate=1 the acc buffer round-trip
+    (read g + write acc + read acc + write zeros = 4x|params| HBM) is
+    skipped entirely — g feeds the update directly and state.acc is
+    returned untouched (XLA aliases the donated buffer).
+    """
+    bias_mask, wd_mask = state.bias_mask, state.wd_mask
+
+    def math(p, g, buf, buf2, step):
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        g = g * jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
+        step = step + 1
+        lr_vec = jnp.where(bias_mask, lr_bias, lr)
+        wd_vec = jnp.where(wd_mask, jnp.float32(weight_decay), 0.0)
+        if kind == "sgd":
+            gw = g + wd_vec * p
+            nb = momentum * buf + gw
+            delta = gw + momentum * nb if nesterov else nb
+            return p - lr_vec * delta, nb, buf2, step
+        m = momentum * buf + (1 - momentum) * g
+        v = b2 * buf2 + (1 - b2) * g * g
+        sf = step.astype(jnp.float32)
+        mhat = m / (1 - momentum ** sf)
+        vhat = v / (1 - b2 ** sf)
+        newp = p * (1 - lr_vec * wd_vec) - lr_vec * mhat / (
+            jnp.sqrt(vhat) + eps)
+        return newp, m, v, step
+
+    if accumulate == 1:
+        newp, buf, buf2, step = math(p_flat, g_flat, state.buf, state.buf2,
+                                     state.step)
+        return (newp,
+                FusedOptState(step=step, micro=jnp.zeros_like(state.micro),
+                              acc=state.acc, buf=buf, buf2=buf2,
+                              bias_mask=bias_mask, wd_mask=wd_mask),
+                jnp.bool_(True))
+    acc = state.acc + g_flat
+    micro = state.micro + 1
+    do_apply = micro >= accumulate
+
+    def apply_fn(t):
+        p, acc, buf, buf2, step = t
+        newp, nb, nb2, step = math(p, acc, buf, buf2, step)
+        return newp, jnp.zeros_like(acc), nb, nb2, step
+
+    newp, acc, buf, buf2, step = jax.lax.cond(
+        do_apply, apply_fn, lambda t: t,
+        (p_flat, acc, state.buf, state.buf2, state.step))
+    micro = jnp.where(do_apply, 0, micro)
+    return (newp,
+            FusedOptState(step=step, micro=micro, acc=acc, buf=buf,
+                          buf2=buf2, bias_mask=bias_mask, wd_mask=wd_mask),
+            do_apply)
+
+
 def fused_ema_update(ema_p, ema_bs, p_flat, bs_flat, updates, applied,
                      base_decay=0.9999, tau=2000.0):
     """Flat-buffer EMA step over (params, batch_stats), gated on `applied`.

@@ -40,7 +40,8 @@ import numpy as np
 from ..cfg import get_cfg, model_yaml_load, DEFAULT_CFG_DICT, yaml_save
 from .optim import (init_opt_state, opt_update, label_params,
                     flatten_for_opt, flat_spec, fused_init_opt_state,
-                    fused_opt_update, fused_ema_update,
+                    fused_opt_update_flat, fused_ema_update,
+                    make_unflatten_diff,
                     fused_state_from_tree, fused_state_to_tree,
                     tree_to_flat, flat_to_tree)
 from ..data import (YOLODataset, DataLoader, TrainTransforms,
@@ -315,37 +316,53 @@ class BaseTrainer:
         spec = self._opt_spec  # FlatSpec when the fused optimizer is active
         bs_spec = getattr(self, "_bs_spec", None)
 
-        def train_step(params, batch_stats, opt_state, ema, ema_updates,
-                       batch, lr_bias, lr, momentum):
-            (total, (items, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch_stats, batch)
-            # EMA advances only on applied optimizer steps (reference calls
-            # ema.update inside optimizer_step) and averages batch_stats too
-            # (ModelEMA averages all floating buffers, torch_utils.py:360-366)
-            if spec is not None:
-                # flat fused update + flat EMA: a handful of big elementwise
-                # kernels instead of ~750 leaf-sized tile-padded ones — the
-                # treewise pair costs ~190 ms on-chip at yolov8l scale, the
-                # fused pair <2 ms (scripts/bench_opt.py)
-                params, opt_state, applied, p_flat = fused_opt_update(
-                    params, grads, opt_state, spec, kind=kind,
+        if spec is not None:
+            # flat-master path: the fp32 master params LIVE as one flat vector
+            # across steps and the loss differentiates THROUGH a custom-VJP
+            # unflatten view (bwd = one concatenate). This removes all three
+            # per-step tree<->flat copy boundaries the earlier fused path paid
+            # (flatten grads / flatten params / unflatten params — ~13 ms/step
+            # at yolov8l scale, scripts/bench_opt.py flatmaster row), leaving
+            # opt+EMA as pure fused elementwise math over donated buffers.
+            unflat = make_unflatten_diff(spec)
+
+            def train_step(p_flat, batch_stats, opt_state, ema, ema_updates,
+                           batch, lr_bias, lr, momentum):
+                def loss_flat(pf, bs, b):
+                    return loss_fn(unflat(pf), bs, b)
+
+                (total, (items, new_stats)), g_flat = jax.value_and_grad(
+                    loss_flat, has_aux=True)(p_flat, batch_stats, batch)
+                p_flat, opt_state, applied = fused_opt_update_flat(
+                    p_flat, g_flat, opt_state, kind=kind,
                     lr_bias=lr_bias, lr=lr, momentum=momentum,
-                    weight_decay=wd, accumulate=accumulate, return_flat=True)
+                    weight_decay=wd, accumulate=accumulate)
+                # EMA advances only on applied optimizer steps (reference
+                # calls ema.update inside optimizer_step) and averages
+                # batch_stats too (ModelEMA, torch_utils.py:360-366)
                 ema_p, ema_bs, ema_updates = fused_ema_update(
                     ema["params"], ema["batch_stats"], p_flat,
                     tree_to_flat(new_stats, bs_spec), ema_updates, applied)
                 ema = {"params": ema_p, "batch_stats": ema_bs}
-            else:
-                params, opt_state, applied = opt_update(
-                    params, grads, opt_state, labels, kind=kind,
-                    lr_bias=lr_bias, lr=lr, momentum=momentum,
-                    weight_decay=wd, accumulate=accumulate)
-                cur = {"params": params, "batch_stats": new_stats}
-                ema, ema_updates = jax.lax.cond(
-                    applied,
-                    lambda t: ema_update(t[0], cur, t[1]),
-                    lambda t: t,
-                    (ema, ema_updates))
+                return (p_flat, new_stats, opt_state, ema, ema_updates,
+                        total, items)
+
+            return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+        def train_step(params, batch_stats, opt_state, ema, ema_updates,
+                       batch, lr_bias, lr, momentum):
+            (total, (items, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch)
+            params, opt_state, applied = opt_update(
+                params, grads, opt_state, labels, kind=kind,
+                lr_bias=lr_bias, lr=lr, momentum=momentum,
+                weight_decay=wd, accumulate=accumulate)
+            cur = {"params": params, "batch_stats": new_stats}
+            ema, ema_updates = jax.lax.cond(
+                applied,
+                lambda t: ema_update(t[0], cur, t[1]),
+                lambda t: t,
+                (ema, ema_updates))
             return params, new_stats, opt_state, ema, ema_updates, total, items
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
@@ -492,6 +509,11 @@ class BaseTrainer:
         n_params = model.num_params({"params": params})
         LOGGER.info(f"{self.opt_name} optimizer, lr0={self.lr0}, "
                     f"accumulate={self.accumulate}, params={n_params:,}")
+        if self._opt_spec is not None:
+            # flat-master: the fp32 master params live as ONE flat vector
+            # across steps (see make_train_step); tree views are produced
+            # once per epoch at the val/ckpt boundary by _params_tree
+            params = self._params_flat(params)
         self.run_callbacks("on_train_start")
 
         t_train = time.time()
@@ -618,8 +640,9 @@ class BaseTrainer:
                     self.best_fitness = fitness
                 t_ckpt = time.time()
                 if a.save and jax.process_index() == 0:
-                    self._save_ckpt(params, batch_stats, ema, ema_updates,
-                                    opt_state, epoch, improved)
+                    self._save_ckpt(self._params_tree(params), batch_stats,
+                                    ema, ema_updates, opt_state, epoch,
+                                    improved)
                 t_ckpt = time.time() - t_ckpt
                 LOGGER.info(
                     f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
@@ -661,7 +684,7 @@ class BaseTrainer:
             meta, flat = load_checkpoint(best)
             if meta["epoch"] != epoch:  # best == last: per-epoch val already ran
                 LOGGER.info(f"validating best.npz (epoch {meta['epoch'] + 1})")
-                bp = restore_tree(flat, "ema", params)
+                bp = restore_tree(flat, "ema", self._params_tree(params))
                 bbs = restore_tree(flat, "ema_bs", batch_stats)
                 self.metrics = self._validator(model=model, params=bp,
                                                batch_stats=bbs,
@@ -701,6 +724,24 @@ class BaseTrainer:
             if write_header:
                 w.writerow(keys)
             w.writerow(vals)
+
+    def _params_tree(self, params):
+        """Master params as a pytree. Identity on the treewise path; under
+        flat-master converts the flat vector once via a cached jit (eager
+        per-leaf slicing would cost one dispatch per leaf)."""
+        if self._opt_spec is None:
+            return params
+        if not hasattr(self, "_params_tree_fn"):
+            spec = self._opt_spec
+            self._params_tree_fn = jax.jit(lambda p: flat_to_tree(p, spec))
+        return self._params_tree_fn(params)
+
+    def _params_flat(self, params):
+        """Master params as the flat fp32 vector the flat-master step carries."""
+        if not hasattr(self, "_params_flat_fn"):
+            spec = self._opt_spec
+            self._params_flat_fn = jax.jit(lambda t: tree_to_flat(t, spec))
+        return self._params_flat_fn(params)
 
     def _ema_trees(self, ema):
         """EMA (params, batch_stats) as pytrees. Under the fused path the EMA

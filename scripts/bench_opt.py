@@ -139,6 +139,32 @@ def main():
         results["fused"] = {"ms": round(ms, 2), "compile_s": round(cs, 1)}
         print(json.dumps({"fused": results["fused"]}), flush=True)
 
+        # ---- flat-master (no tree<->flat boundaries at all) -----------------
+        from dedark_yolo_tpu.engine.optim import fused_opt_update_flat
+        g_flat_const = tree_to_flat(grads, spec)
+        bs_flat_const = tree_to_flat(batch_stats, bspec)
+
+        def step_flat(pf, opt, ema, eu, g, lr):
+            pf, opt, applied = fused_opt_update_flat(
+                pf, g, opt, kind=args.kind, lr_bias=lr, lr=lr,
+                momentum=jnp.float32(0.937), accumulate=1)
+            ema_p, ema_b, eu = fused_ema_update(
+                ema["params"], ema["batch_stats"], pf, bs_flat_const,
+                eu, applied)
+            return pf, opt, {"params": ema_p, "batch_stats": ema_b}, eu
+
+        jf = jax.jit(step_flat, donate_argnums=(0, 1, 2, 3))
+        make_state = lambda: (tree_to_flat(params, spec),
+                              fused_init_opt_state(params, spec),
+                              {"params": tree_to_flat(params, spec),
+                               "batch_stats": tree_to_flat(batch_stats,
+                                                           bspec)},
+                              jnp.zeros((), jnp.int32))
+        extra_flat = lambda i: (g_flat_const, jnp.float32(0.01 + 1e-6 * i))
+        ms, cs = time_donated(jf, make_state, extra_flat, args.iters)
+        results["flatmaster"] = {"ms": round(ms, 2), "compile_s": round(cs, 1)}
+        print(json.dumps({"flatmaster": results["flatmaster"]}), flush=True)
+
     out = Path(args.json_out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(

@@ -99,8 +99,9 @@ def main():
     from dedark_yolo_tpu.engine.optim import (flat_spec, flatten_for_opt,
                                               fused_ema_update,
                                               fused_init_opt_state,
-                                              fused_opt_update,
+                                              fused_opt_update_flat,
                                               init_opt_state, label_params,
+                                              make_unflatten_diff,
                                               opt_update, tree_to_flat)
     from dedark_yolo_tpu.losses import detection_loss
     from dedark_yolo_tpu.nn.graph import DetectionModel
@@ -224,11 +225,15 @@ def main():
 
     print("compiling full train step (grad+opt+EMA, donated)...", flush=True)
 
+    spec = flatten_for_opt(params, labels)
+    bspec = flat_spec(batch_stats)
+    unflat = make_unflatten_diff(spec)
+
     def full_step(p, bs, opt, ema, eu, eps):
-        def lf(p_):
+        def lf(p_tree):
             clean = img_u8.astype(jnp.float32) / 255.0 + eps
             img = lowlight_degrade(clean, 5.0)
-            v = {"params": to_bf16(p_), "batch_stats": bs}
+            v = {"params": to_bf16(p_tree), "batch_stats": bs}
             raw, new_stats = model.apply_train(v, img.astype(jnp.bfloat16),
                                                None, None)
             raw = jax.tree_util.tree_map(lambda r: r.astype(jnp.float32), raw)
@@ -237,11 +242,11 @@ def main():
             total, items = detection_loss(raw, lbatch, nc=model.nc,
                                           strides=model.strides, hyp=hyp)
             return total, new_stats
-        if args.remat:
-            lf = jax.checkpoint(
-                lf, policy=jax.checkpoint_policies.nothing_saveable)
-        (total, new_stats), g = jax.value_and_grad(lf, has_aux=True)(p)
         if args.treewise_opt:
+            if args.remat:
+                lf = jax.checkpoint(
+                    lf, policy=jax.checkpoint_policies.nothing_saveable)
+            (total, new_stats), g = jax.value_and_grad(lf, has_aux=True)(p)
             p, opt, _ = opt_update(p, g, opt, labels, kind="sgd",
                                    lr_bias=jnp.float32(0.01),
                                    lr=jnp.float32(0.01),
@@ -249,30 +254,37 @@ def main():
             ema, eu = ema_update(ema, {"params": p,
                                        "batch_stats": new_stats}, eu)
         else:
-            # production path (engine/trainer.py train_step): fused flat
-            # optimizer + fused flat EMA over params and batch_stats
-            p, opt, applied, p_flat = fused_opt_update(
-                p, g, opt, spec, kind="sgd", lr_bias=jnp.float32(0.01),
+            # production path (engine/trainer.py train_step flat-master):
+            # p IS the flat fp32 master vector; differentiate through the
+            # custom-VJP unflatten (bwd = one concatenate), then pure flat
+            # optimizer + EMA — no tree<->flat boundaries in the step
+            lff = lambda pf: lf(unflat(pf))
+            if args.remat:
+                lff = jax.checkpoint(
+                    lff, policy=jax.checkpoint_policies.nothing_saveable)
+            (total, new_stats), g = jax.value_and_grad(lff, has_aux=True)(p)
+            p, opt, applied = fused_opt_update_flat(
+                p, g, opt, kind="sgd", lr_bias=jnp.float32(0.01),
                 lr=jnp.float32(0.01), momentum=jnp.float32(0.937),
-                accumulate=1, return_flat=True)
+                accumulate=1)
             ema_p, ema_b, eu = fused_ema_update(
-                ema["params"], ema["batch_stats"], p_flat,
+                ema["params"], ema["batch_stats"], p,
                 tree_to_flat(new_stats, bspec), eu, applied)
             ema = {"params": ema_p, "batch_stats": ema_b}
         return p, new_stats, opt, ema, eu, total
 
     jf_full = jax.jit(full_step, donate_argnums=(0, 1, 2, 3))
 
-    spec = flatten_for_opt(params, labels)
-    bspec = flat_spec(batch_stats)
     if args.treewise_opt:
         opt0 = init_opt_state(params)
         ema0 = ema_init({"params": params, "batch_stats": batch_stats})
+        p0 = params
     else:
         opt0 = fused_init_opt_state(params, spec)
         ema0 = {"params": tree_to_flat(params, spec),
                 "batch_stats": tree_to_flat(batch_stats, bspec)}
-    state = {"p": params, "bs": batch_stats, "opt": opt0, "ema": ema0,
+        p0 = tree_to_flat(params, spec)
+    state = {"p": p0, "bs": batch_stats, "opt": opt0, "ema": ema0,
              "eu": jnp.zeros((), jnp.int32)}
 
     def call_full(i):

@@ -47,11 +47,15 @@ def main():
     from dedark_yolo_tpu.cfg import model_yaml_load
     from dedark_yolo_tpu.nn.graph import DetectionModel
     from dedark_yolo_tpu.losses import detection_loss
-    from dedark_yolo_tpu.engine.optim import (init_opt_state, opt_update,
-                                              label_params)
+    from dedark_yolo_tpu.engine.optim import (flat_spec, flatten_for_opt,
+                                              fused_ema_update,
+                                              fused_init_opt_state,
+                                              fused_opt_update_flat,
+                                              label_params,
+                                              make_unflatten_diff,
+                                              tree_to_flat)
     from dedark_yolo_tpu.ops.degrade import lowlight_degrade
     from dedark_yolo_tpu.ops.dark_channel import dark_channel_priors
-    from dedark_yolo_tpu.utils import ema_init, ema_update
 
     s = args.imgsz
     max_boxes = 32
@@ -61,6 +65,11 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), imgsz=s)
     params, batch_stats = variables["params"], variables["batch_stats"]
     labels = label_params(params)
+    # production optimizer path (engine/trainer.py): flat-master params +
+    # fused flat opt/EMA — this script must measure what the trainer runs
+    spec = flatten_for_opt(params, labels)
+    bspec = flat_spec(batch_stats)
+    unflat = make_unflatten_diff(spec)
     hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "lrl": 2.0}
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
@@ -92,21 +101,22 @@ def main():
                                       strides=model.strides, hyp=hyp)
         return total, (items, new_stats)
 
-    if args.remat:
-        loss_fn = jax.checkpoint(loss_fn,
-                                 policy=jax.checkpoint_policies.nothing_saveable)
-
-    def train_step(params, batch_stats, opt_state, ema, ema_updates, batch):
-        (total, (items, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, batch)
-        params, opt_state, _ = opt_update(
-            params, grads, opt_state, labels, kind="sgd",
+    def train_step(p_flat, batch_stats, opt_state, ema, ema_updates, batch):
+        lff = lambda pf, bs, b: loss_fn(unflat(pf), bs, b)
+        if args.remat:
+            lff = jax.checkpoint(
+                lff, policy=jax.checkpoint_policies.nothing_saveable)
+        (total, (items, new_stats)), g_flat = jax.value_and_grad(
+            lff, has_aux=True)(p_flat, batch_stats, batch)
+        p_flat, opt_state, applied = fused_opt_update_flat(
+            p_flat, g_flat, opt_state, kind="sgd",
             lr_bias=jnp.float32(0.01), lr=jnp.float32(0.01),
             momentum=jnp.float32(0.937), accumulate=1)
-        ema, ema_updates = ema_update(ema, {"params": params,
-                                            "batch_stats": new_stats},
-                                      ema_updates)
-        return params, new_stats, opt_state, ema, ema_updates, total
+        ema_p, ema_b, ema_updates = fused_ema_update(
+            ema["params"], ema["batch_stats"], p_flat,
+            tree_to_flat(new_stats, bspec), ema_updates, applied)
+        ema = {"params": ema_p, "batch_stats": ema_b}
+        return p_flat, new_stats, opt_state, ema, ema_updates, total
 
     step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
@@ -125,9 +135,10 @@ def main():
         # (the real trainer overlaps uploads via its prefetching loader)
         batches = jax.device_put(batches)
         jax.block_until_ready(batches)
-        p, bs = params, batch_stats
-        opt = init_opt_state(p)
-        ema = ema_init({"params": p, "batch_stats": bs})
+        p, bs = tree_to_flat(params, spec), batch_stats
+        opt = fused_init_opt_state(params, spec)
+        ema = {"params": tree_to_flat(params, spec),
+               "batch_stats": tree_to_flat(batch_stats, bspec)}
         eu = jnp.zeros((), jnp.int32)
         try:
             t_c = time.perf_counter()

@@ -174,3 +174,75 @@ def test_flat_roundtrip():
                     jax.tree_util.tree_leaves(back)):
         assert a.shape == b.shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("kind", ["sgd", "adamw"])
+@pytest.mark.parametrize("accumulate", [1, 3])
+def test_flatmaster_matches_treewise(kind, accumulate):
+    """fused_opt_update_flat (the flat-master train-step path, no tree
+    boundaries at all) is a bit-for-bit twin of the treewise optimizer."""
+    from dedark_yolo_tpu.engine.optim import fused_opt_update_flat
+
+    params = _params()
+    labels = label_params(params)
+    spec = flatten_for_opt(params, labels)
+    kw = dict(kind=kind, weight_decay=0.0005, clip_norm=10.0)
+
+    p_t, st_t = params, init_opt_state(params)
+    pf, st_f = tree_to_flat(params, spec), fused_init_opt_state(params, spec)
+    for i in range(5):
+        g = _grads(i)
+        lr = jnp.float32(0.01 + 0.001 * i)
+        lrb = jnp.float32(0.1 - 0.01 * i)
+        mom = jnp.float32(0.8 + 0.02 * i)
+        p_t, st_t, a_t = opt_update(p_t, g, st_t, labels, lr_bias=lrb, lr=lr,
+                                    momentum=mom, accumulate=accumulate, **kw)
+        pf, st_f, a_f = fused_opt_update_flat(
+            pf, tree_to_flat(g, spec), st_f, lr_bias=lrb, lr=lr,
+            momentum=mom, accumulate=accumulate, **kw)
+        assert bool(a_t) == bool(a_f)
+    for a, b in zip(jax.tree_util.tree_leaves(p_t),
+                    jax.tree_util.tree_leaves(flat_to_tree(pf, spec))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    assert int(st_t.step) == int(st_f.step)
+    assert int(st_t.micro) == int(st_f.micro)
+    for a, b in zip(jax.tree_util.tree_leaves(st_t.buf),
+                    jax.tree_util.tree_leaves(flat_to_tree(st_f.buf, spec))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+    # accumulator parity matters for resume mid-accumulation-window
+    for a, b in zip(jax.tree_util.tree_leaves(st_t.acc),
+                    jax.tree_util.tree_leaves(flat_to_tree(st_f.acc, spec))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_unflatten_diff_gradient_exact():
+    """Gradients through the custom-VJP unflatten equal the treewise
+    gradients flattened — including through a bf16 cast like the amp loss."""
+    from dedark_yolo_tpu.engine.optim import make_unflatten_diff
+
+    params = _params()
+    labels = label_params(params)
+    spec = flatten_for_opt(params, labels)
+    unflat = make_unflatten_diff(spec)
+    w = _grads(7)  # arbitrary per-leaf weights
+
+    def loss_tree(p):
+        p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+        return sum(jnp.sum((x.astype(jnp.float32) ** 2) * wi)
+                   for x, wi in zip(jax.tree_util.tree_leaves(p16),
+                                    jax.tree_util.tree_leaves(w)))
+
+    g_tree = jax.grad(loss_tree)(params)
+    g_flat = jax.grad(lambda f: loss_tree(unflat(f)))(
+        tree_to_flat(params, spec))
+    np.testing.assert_allclose(np.asarray(g_flat),
+                               np.asarray(tree_to_flat(g_tree, spec)),
+                               rtol=1e-6, atol=1e-8)
+    # forward is the identity view
+    back = unflat(tree_to_flat(params, spec))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
