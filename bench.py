@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -47,8 +48,122 @@ def _check_platform_alive(timeout=180):
             f"hung > {timeout}s — remote tunnel down?); no measurement taken")
 
 
+def _train_ips_subprocess(timeout=1500):
+    """Run the train-step measurement in a CLEAN subprocess (before the
+    parent touches the TPU): b48 @640 flagship sits near the HBM ceiling
+    (b64 OOMs, docs/BENCHMARKS.md round-4 A/B), so it cannot share the chip
+    with the inference bench's b384 staging buffers + executables — measuring
+    in the same process RESOURCE_EXHAUSTs. Returns img/s (float) or raises."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--train-ips"],
+        capture_output=True, text=True, timeout=timeout)
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("TRAIN_IPS "):
+            return float(line.split()[1])
+    tail = ((proc.stderr or "").strip().splitlines() or ["?"])[-1]
+    raise RuntimeError(f"train bench subprocess rc={proc.returncode}: {tail[:160]}")
+
+
+def _train_ips(batch=48, imgsz=640, iters=4, max_boxes=32):
+    """Train-step img/s on the flagship graph (the SECOND headline number):
+    the full fused flat-master production step (degrade -> enhance -> forward
+    -> TAL loss -> grads -> fused SGD+EMA on donated buffers), b48 @640 bf16 —
+    the confirmed single-chip optimum (docs/BENCHMARKS.md round-4 remat A/B).
+    Same honest protocol: distinct device-staged buffers, per-iter readback.
+    Runs via _train_ips_subprocess so it owns the whole chip's HBM."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dedark_yolo_tpu.cfg import model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.losses import detection_loss
+    from dedark_yolo_tpu.engine.optim import (flat_spec, flatten_for_opt,
+                                              fused_ema_update,
+                                              fused_init_opt_state,
+                                              fused_opt_update_flat,
+                                              label_params,
+                                              make_unflatten_diff,
+                                              tree_to_flat)
+    from dedark_yolo_tpu.ops.degrade import lowlight_degrade
+
+    d = model_yaml_load("yolov8l.yaml")
+    d["nc"] = 3
+    model = DetectionModel(d)
+    variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    spec = flatten_for_opt(params, label_params(params))
+    bspec = flat_spec(batch_stats)
+    unflat = make_unflatten_diff(spec)
+    hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "lrl": 2.0}
+
+    def loss_fn(params, batch_stats, batch):
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
+        clean = batch["img"].astype(jnp.float32) / 255.0
+        img = lowlight_degrade(clean, 5.0)
+        v = {"params": params, "batch_stats": batch_stats}
+        raw, new_stats = model.apply_train(v, img.astype(jnp.bfloat16),
+                                           None, None)
+        raw = jax.tree_util.tree_map(lambda r: r.astype(jnp.float32), raw)
+        lbatch = {"cls": batch["cls"], "bboxes": batch["bboxes"],
+                  "mask_gt": batch["mask_gt"],
+                  "recovery_loss": jnp.mean((img - clean) ** 2)}
+        total, items = detection_loss(raw, lbatch, nc=model.nc,
+                                      strides=model.strides, hyp=hyp)
+        return total, (items, new_stats)
+
+    def train_step(p_flat, batch_stats, opt_state, ema, ema_updates, batch):
+        (total, (items, new_stats)), g_flat = jax.value_and_grad(
+            lambda pf, bs, b: loss_fn(unflat(pf), bs, b),
+            has_aux=True)(p_flat, batch_stats, batch)
+        p_flat, opt_state, applied = fused_opt_update_flat(
+            p_flat, g_flat, opt_state, kind="sgd",
+            lr_bias=jnp.float32(0.01), lr=jnp.float32(0.01),
+            momentum=jnp.float32(0.937), accumulate=1)
+        ema_p, ema_b, ema_updates = fused_ema_update(
+            ema["params"], ema["batch_stats"], p_flat,
+            tree_to_flat(new_stats, bspec), ema_updates, applied)
+        return (p_flat, new_stats, opt_state,
+                {"params": ema_p, "batch_stats": ema_b}, ema_updates, total)
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+    rng = np.random.default_rng(0)
+    batches = jax.device_put([{
+        "img": rng.integers(0, 255, (batch, imgsz, imgsz, 3)).astype(np.uint8),
+        "bboxes": rng.uniform(0.2, 0.7, (batch, max_boxes, 4)).astype(np.float32),
+        "cls": rng.integers(0, 3, (batch, max_boxes)).astype(np.float32),
+        "mask_gt": np.ones((batch, max_boxes), np.float32),
+    } for _ in range(2)])
+    jax.block_until_ready(batches)
+    p, bs = tree_to_flat(params, spec), batch_stats
+    opt = fused_init_opt_state(params, spec)
+    ema = {"params": tree_to_flat(params, spec),
+           "batch_stats": tree_to_flat(batch_stats, bspec)}
+    eu = jnp.zeros((), jnp.int32)
+    for i in range(3):  # compile + warmup
+        p, bs, opt, ema, eu, total = step(p, bs, opt, ema, eu, batches[i % 2])
+        float(total)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, bs, opt, ema, eu, total = step(p, bs, opt, ema, eu, batches[i % 2])
+        float(total)  # per-iteration readback
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     _check_platform_alive()
+    # second headline: TRAIN-step throughput (VERDICT r4 #8 — BENCH carries
+    # both). Measured FIRST, in a clean subprocess, before this process
+    # initializes the TPU (see _train_ips_subprocess). Guarded: a train
+    # failure must never lose the inference record.
+    train_ips = train_err = None
+    if os.environ.get("DEDARK_BENCH_TRAIN", "1") != "0":
+        try:
+            train_ips = _train_ips_subprocess()
+        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+            train_err = f"{type(e).__name__}: {str(e)[:160]}"
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,7 +172,6 @@ def main():
     from dedark_yolo_tpu.nn.heads import decode_detections
     from dedark_yolo_tpu.ops.nms import non_max_suppression
 
-    import os
     imgsz = 640
     # throughput-optimal on v5e (round-2 sweep with the streaming one-pass
     # enhance kernel: b256 585, b384 603, b448 570 img/s). DEDARK_BENCH_BATCH
@@ -145,8 +259,17 @@ def main():
                               f"MEASURED {ref_ips} img/s of the reference "
                               f"stack on this host (torch CPU predict, "
                               f"runs/refspeed.json)")
+    if train_ips is not None:
+        rec["train_img_per_s"] = round(train_ips, 1)
+        rec["metric"] += ("; train_img_per_s is the full fused train "
+                          "step (b48 @640 bf16, flagship)")
+    elif train_err is not None:
+        rec["train_bench_error"] = train_err
     print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-ips" in sys.argv:
+        print(f"TRAIN_IPS {_train_ips():.2f}", flush=True)
+    else:
+        main()

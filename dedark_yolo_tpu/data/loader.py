@@ -19,6 +19,35 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Process-pool transform workers (reference build.py:93-109 multi-process
+# DataLoader workers). The thread pool is the default — cv2/numpy release the
+# GIL for the heavy kernels (measured hold fraction in docs/BENCHMARKS.md
+# loader-scaling table) — but pure-Python label bookkeeping caps thread
+# scaling on many-core hosts; `use_processes=True` sidesteps the GIL
+# entirely. Fork-start workers inherit (dataset, transforms) by COW memory —
+# per-item IPC is only (index, seed) in and the finished item out.
+_MP_STATE: dict = {}
+
+
+def _mp_init(dataset, transforms, base_seed):
+    # each forked worker re-seeds cv2's internal pool to 1 thread: the
+    # parallelism axis is processes here, and nested cv2 threading oversubscribes
+    try:
+        import cv2
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+    _MP_STATE["dataset"] = dataset
+    _MP_STATE["transforms"] = transforms
+    _MP_STATE["base_seed"] = base_seed
+
+
+def _mp_make(task):
+    i, pos, epoch = task
+    rng = random.Random(_MP_STATE["base_seed"] + epoch + pos * 7919 + i)
+    return _MP_STATE["transforms"](_MP_STATE["dataset"], i, rng)
+
 
 def collate(items, max_boxes=128):
     """items: list of (img HWC uint8, xywh (n,4), cls (n,)) -> fixed-shape batch."""
@@ -43,7 +72,7 @@ class DataLoader:
 
     def __init__(self, dataset, transforms, batch_size, max_boxes=128, shuffle=True,
                  seed=0, workers=8, drop_last=True, process_index=0, process_count=1,
-                 prefetch=2, indices=None, collate_fn=None):
+                 prefetch=2, indices=None, collate_fn=None, use_processes=False):
         self.dataset = dataset
         self.indices = list(indices) if indices is not None else None
         self.transforms = transforms
@@ -60,6 +89,32 @@ class DataLoader:
         self.process_count = process_count
         self.prefetch = prefetch
         self.epoch = 0
+        self.use_processes = bool(use_processes)
+        self._mp_pool = None
+
+    def _pool(self):
+        """Lazy fork-start process pool, reused across epochs. Identical
+        per-item seeding to the thread path, so switching modes never changes
+        the produced batches (asserted in tests/test_data.py)."""
+        if self._mp_pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            self._mp_pool = ctx.Pool(
+                self.workers, initializer=_mp_init,
+                initargs=(self.dataset, self.transforms, self.seed * 100003))
+        return self._mp_pool
+
+    def close(self):
+        if self._mp_pool is not None:
+            self._mp_pool.terminate()
+            self._mp_pool.join()
+            self._mp_pool = None
+
+    def __del__(self):  # best-effort cleanup; close() is the explicit API
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch):
         """Reshuffle per epoch (reference trainer.py:297-298 sampler.set_epoch)."""
@@ -100,6 +155,17 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            if self.use_processes:
+                pool = self._pool()
+                for bi in range(nb):
+                    if stop.is_set():
+                        return
+                    chunk = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
+                    items = pool.map(_mp_make, [(i, pos, self.epoch)
+                                                for pos, i in enumerate(chunk)])
+                    out_q.put(self.collate_fn(items))
+                out_q.put(None)
+                return
             with ThreadPoolExecutor(max_workers=self.workers) as ex:
                 for bi in range(nb):
                     if stop.is_set():

@@ -197,7 +197,9 @@ class DetectionPredictor:
                     agnostic=bool(a.agnostic_nms))
                 return {"dets": dets, "counts": counts}
 
-            return jax.jit(tta_step)
+            from ..utils import matmul_precision_wrap
+            return matmul_precision_wrap(jax.jit(tta_step),
+                                         getattr(a, "matmul_precision", None))
 
         def step(members, img_u8):
             img = img_u8.astype(dtype) / 255.0
@@ -250,7 +252,9 @@ class DetectionPredictor:
                                    for k, v in caps.items()}
             return out
 
-        return jax.jit(step)
+        from ..utils import matmul_precision_wrap
+        return matmul_precision_wrap(jax.jit(step),
+                                     getattr(a, "matmul_precision", None))
 
     def extra_fields(self, out, i, k, orig_shape, imgsz):
         """Task hook: per-image extra Results kwargs (masks/keypoints)."""

@@ -176,7 +176,9 @@ class DetectionValidator:
                     out["loss_items"] = jnp.stack(list(items))
             return out
 
-        return jax.jit(val_step)
+        from ..utils import matmul_precision_wrap
+        return matmul_precision_wrap(jax.jit(val_step),
+                                     getattr(a, "matmul_precision", None))
 
     def __call__(self, model=None, params=None, batch_stats=None, mesh=None,
                  with_loss=False):

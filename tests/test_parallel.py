@@ -168,3 +168,103 @@ def test_spatial_sharded_inference():
                                rtol=1e-4, atol=5e-3)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_s),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_vs_tree_train_step_parity_under_mesh():
+    """The PRODUCTION flat-master fused train step (donated flat buffers,
+    custom-VJP unflatten, fused SGD+EMA — engine/trainer.py:319-350) produces
+    the same master params as the legacy treewise step when both run SHARDED
+    on a 2-D (data x spatial) mesh. Guards the fused path's donation aliasing
+    and sharding against the gate regression VERDICT r4 #5 named."""
+    from dedark_yolo_tpu.cfg import model_yaml_load
+    from dedark_yolo_tpu.nn.graph import DetectionModel
+    from dedark_yolo_tpu.losses import detection_loss
+    from dedark_yolo_tpu.engine.optim import (
+        flat_spec, flat_to_tree, flatten_for_opt, fused_ema_update,
+        fused_init_opt_state, fused_opt_update_flat, init_opt_state,
+        label_params, make_unflatten_diff, opt_update, tree_to_flat)
+    from dedark_yolo_tpu.utils import ema_init, ema_update
+
+    d = model_yaml_load(str(Path(__file__).parent / "tiny_model.yaml"))
+    model = DetectionModel(d)
+    v = model.init(jax.random.PRNGKey(0), imgsz=64)
+    params, bstats = v["params"], v["batch_stats"]
+    labels = label_params(params)
+    spec = flatten_for_opt(params, labels)
+    bspec = flat_spec(bstats)
+    unflat = make_unflatten_diff(spec)
+    hyp = {"box": 7.5, "cls": 0.5, "dfl": 1.5, "lrl": 2.0}
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "img": rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8),
+        "bboxes": rng.uniform(0.3, 0.6, (4, 8, 4)).astype(np.float32),
+        "cls": rng.integers(0, 3, (4, 8)).astype(np.float32),
+        "mask_gt": np.ones((4, 8), np.float32),
+    }
+
+    def loss_fn(params, batch_stats, b):
+        img = b["img"].astype(jnp.float32) / 255.0
+        raw, new_stats = model.apply_train(
+            {"params": params, "batch_stats": batch_stats}, img)
+        lbatch = {"cls": b["cls"], "bboxes": b["bboxes"],
+                  "mask_gt": b["mask_gt"],
+                  "recovery_loss": jnp.zeros(())}
+        total, items = detection_loss(raw, lbatch, nc=model.nc,
+                                      strides=model.strides, hyp=hyp)
+        return total, (items, new_stats)
+
+    okw = dict(kind="sgd", lr_bias=jnp.float32(0.02), lr=jnp.float32(0.01),
+               momentum=jnp.float32(0.9), accumulate=1)
+
+    def step_fused(pf, bs, st, ema, eu, b):
+        (total, (_, new_stats)), gf = jax.value_and_grad(
+            lambda f, s, bb: loss_fn(unflat(f), s, bb),
+            has_aux=True)(pf, bs, b)
+        pf, st, applied = fused_opt_update_flat(pf, gf, st, **okw)
+        ep, eb, eu = fused_ema_update(ema["params"], ema["batch_stats"], pf,
+                                      tree_to_flat(new_stats, bspec), eu,
+                                      applied)
+        return pf, new_stats, st, {"params": ep, "batch_stats": eb}, eu, total
+
+    def step_tree(p, bs, st, ema, eu, b):
+        (total, (_, new_stats)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, bs, b)
+        p, st, applied = opt_update(p, g, st, labels, **okw)
+        cur = {"params": p, "batch_stats": new_stats}
+        ema, eu = jax.lax.cond(applied, lambda t: ema_update(t[0], cur, t[1]),
+                               lambda t: t, (ema, eu))
+        return p, new_stats, st, ema, eu, total
+
+    mesh = make_mesh(shape=(2, 2), axes=("data", "spatial"))
+    dev_batch = shard_batch(mesh, batch)
+    eu0 = jnp.zeros((), jnp.int32)
+
+    # fused flat-master path, same donation contract as the trainer
+    pf = replicate(mesh, tree_to_flat(params, spec))
+    st_f = replicate(mesh, fused_init_opt_state(params, spec))
+    ema_f = replicate(mesh, {"params": tree_to_flat(params, spec),
+                             "batch_stats": tree_to_flat(bstats, bspec)})
+    out_f = jax.jit(step_fused, donate_argnums=(0, 1, 2, 3))(
+        pf, replicate(mesh, bstats), st_f, ema_f, eu0, dev_batch)
+
+    # treewise path on the same mesh
+    out_t = jax.jit(step_tree)(
+        replicate(mesh, params), replicate(mesh, bstats),
+        replicate(mesh, init_opt_state(params)),
+        {"params": replicate(mesh, ema_init(params)),
+         "batch_stats": replicate(mesh, ema_init(bstats))},
+        eu0, dev_batch)
+
+    np.testing.assert_allclose(float(out_f[-1]), float(out_t[-1]), rtol=1e-5)
+    p_fused = flat_to_tree(out_f[0], spec)
+    for a, b in zip(jax.tree_util.tree_leaves(out_t[0]),
+                    jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+    ema_fused = flat_to_tree(out_f[3]["params"], spec)
+    for a, b in zip(jax.tree_util.tree_leaves(out_t[3]["params"]),
+                    jax.tree_util.tree_leaves(ema_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)

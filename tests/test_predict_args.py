@@ -311,3 +311,29 @@ def test_device_property_honors_to():
     from dedark_yolo_tpu import YOLO
     m = YOLO(TINY).to("cpu")
     assert "cpu" in m.device.lower()
+
+
+def test_matmul_precision_key_and_wrap():
+    """The matmul_precision serving knob (VERDICT r4 #6): the cfg key exists,
+    'default' is a no-op passthrough, and wrapping makes traced dots carry
+    Precision.HIGHEST (fp32-accurate MXU passes on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from dedark_yolo_tpu.utils import matmul_precision_wrap
+
+    assert DEFAULT_CFG_DICT.get("matmul_precision") == "default"
+
+    def f(x):
+        return jnp.dot(x, x)
+
+    fn = lambda x: jax.make_jaxpr(f)(x)
+    assert matmul_precision_wrap(fn, "default") is fn
+    assert matmul_precision_wrap(fn, None) is fn
+    x = jnp.ones((4, 4), jnp.float32)
+    assert "HIGHEST" not in str(fn(x))
+    for name in ("float32", "highest"):
+        wrapped = matmul_precision_wrap(fn, name)
+        assert "HIGHEST" in str(wrapped(x))
+    # the predictor threads the cfg key through to its step factory
+    cfg = get_cfg(overrides={"matmul_precision": "float32"})
+    assert cfg.matmul_precision == "float32"
