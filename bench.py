@@ -65,7 +65,7 @@ def _train_ips_subprocess(timeout=1500):
     raise RuntimeError(f"train bench subprocess rc={proc.returncode}: {tail[:160]}")
 
 
-def _train_ips(batch=48, imgsz=640, iters=4, max_boxes=32):
+def _train_ips(batch=48, imgsz=640, iters=4, max_boxes=32, stem_s2d=None):
     """Train-step img/s on the flagship graph (the SECOND headline number):
     the full fused flat-master production step (degrade -> enhance -> forward
     -> TAL loss -> grads -> fused SGD+EMA on donated buffers), b48 @640 bf16 —
@@ -87,9 +87,11 @@ def _train_ips(batch=48, imgsz=640, iters=4, max_boxes=32):
                                               tree_to_flat)
     from dedark_yolo_tpu.ops.degrade import lowlight_degrade
 
+    if stem_s2d is None:
+        stem_s2d = os.environ.get("DEDARK_BENCH_S2D", "0") == "1"
     d = model_yaml_load("yolov8l.yaml")
     d["nc"] = 3
-    model = DetectionModel(d)
+    model = DetectionModel(d, stem_s2d=stem_s2d)
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     params, batch_stats = variables["params"], variables["batch_stats"]
     spec = flatten_for_opt(params, label_params(params))

@@ -200,7 +200,9 @@ class BaseTrainer:
         return DetectionModel(d, nc=self.data["nc"],
                               contrast_mode=getattr(self.args, "contrast_mode",
                                                     "channel"),
-                              remat_upto=int(getattr(self.args, "remat", -1)))
+                              remat_upto=int(getattr(self.args, "remat", -1)),
+                              stem_s2d=bool(getattr(self.args, "stem_s2d",
+                                                    False)))
 
     def build_train_loader(self):
         """Return a loader: len(), set_epoch(e), iter -> fixed-shape batch."""

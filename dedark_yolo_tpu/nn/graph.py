@@ -94,12 +94,15 @@ class LazyConcat(list):
 
 
 def _dense(v):
-    return jnp.concatenate(list(v), axis=-1) if isinstance(v, LazyConcat) else v
+    if isinstance(v, L.LazyUp):
+        return v.dense()
+    if isinstance(v, LazyConcat):
+        return jnp.concatenate(
+            [p.dense() if isinstance(p, L.LazyUp) else p for p in v], axis=-1)
+    return v
 
 
-def _spec_takes_list(spec: LayerSpec) -> bool:
-    if not L.ELIDE_CONCAT:
-        return False
+def _first_op_is_1x1(spec: LayerSpec) -> bool:
     if spec.name in _LIST_INPUT_OK:
         return True
     if spec.name == "Conv":
@@ -107,6 +110,36 @@ def _spec_takes_list(spec: LayerSpec) -> bool:
         s = spec.args[2] if len(spec.args) > 2 else 1
         return k == 1 and s == 1
     return False
+
+
+def _spec_takes_list(spec: LayerSpec, inp=None) -> bool:
+    # fpn-fused concats (a LazyUp part) stay lazy whenever the consumer
+    # leads with a 1x1 conv, independent of the ELIDE_CONCAT experiment flag
+    if (isinstance(inp, LazyConcat)
+            and any(isinstance(p, L.LazyUp) for p in inp)):
+        return _first_op_is_1x1(spec)
+    if not L.ELIDE_CONCAT:
+        return False
+    return _first_op_is_1x1(spec)
+
+
+def find_fpn_fuse(specs, save) -> Tuple[int, ...]:
+    """Indices of nn.Upsample layers eligible for the top-down fuse: the
+    upsample feeds ONLY the next layer, a Concat, which feeds ONLY the layer
+    after it, whose first op is a 1x1 s1 conv (C2f family / 1x1 Conv). The
+    upsample is then kept lazy and its 1x1 partial dot runs pre-upsample
+    (layers.py LazyUp/ConcatConv)."""
+    out = []
+    for i, s in enumerate(specs):
+        if s.name != "nn.Upsample" or i + 2 >= len(specs):
+            continue
+        cat, nxt = specs[i + 1], specs[i + 2]
+        if (s.f == (-1,) and s.i not in save
+                and cat.name == "Concat" and -1 in cat.f
+                and cat.i not in save and nxt.f == (-1,)
+                and _first_op_is_1x1(nxt)):
+            out.append(s.i)
+    return tuple(out)
 
 
 def parse_model(d: dict, ch: int = 3, verbose: bool = False):
@@ -369,6 +402,26 @@ def _enhance_call(m, x, dedark_A, IcA, train):
 _REMAT_ENHANCE = nn.remat(_enhance_call, static_argnums=(4,))
 
 
+def find_s2d_stem(specs, save) -> Optional[Tuple[int, int]]:
+    """Locate the (first, second) stride-2 3x3 stem Conv pair eligible for
+    the space-to-depth rewrite (layers.py ConvS2DOut/ConvS2DIn): the first
+    Conv must be fed by the raw image (optionally through lowlight_recovery),
+    feed ONLY the second Conv, and both must be plain k3 s2 Convs."""
+    for i, s in enumerate(specs):
+        if s.name == "lowlight_recovery":
+            continue
+        if (s.name == "Conv" and s.n == 1 and s.f == (-1,)
+                and len(s.args) > 2 and s.args[1] == 3 and s.args[2] == 2
+                and i + 1 < len(specs) and s.i not in save):
+            nxt = specs[i + 1]
+            if (nxt.name == "Conv" and nxt.n == 1 and nxt.f == (-1,)
+                    and len(nxt.args) > 2 and nxt.args[1] == 3
+                    and nxt.args[2] == 2):
+                return (i, i + 1)
+        return None
+    return None
+
+
 class YOLOGraph(nn.Module):
     """The whole detection network as one flax module.
 
@@ -389,10 +442,30 @@ class YOLOGraph(nn.Module):
     # recompute — rematting them trades ~free FLOPs for the HBM that caps the
     # train batch size. -1 = off (inference never pays: no backward exists).
     remat_upto: int = -1
+    # space-to-depth stem rewrite (VERDICT r4 #1): the first two stride-2
+    # Convs run in s2d form so the (H/2, W/2, 64) activation never exists in
+    # its lane-padded layout. Exact algebra, checkpoint-identical params
+    # (layers.py ConvS2DOut/ConvS2DIn docstrings).
+    stem_s2d: bool = False
+    # FPN top-down fuse (VERDICT r4 #2): eligible Upsample outputs stay lazy
+    # and the consuming 1x1 conv contracts them at LOW resolution
+    # (layers.py LazyUp docstring). Exact algebra, identical params.
+    fpn_fuse: bool = False
 
     def setup(self):
+        s2d_pair = (find_s2d_stem(self.specs, self.save)
+                    if self.stem_s2d else None)
+        self.fpn_ups = (find_fpn_fuse(self.specs, self.save)
+                        if self.fpn_fuse else ())
         mods = []
         for s in self.specs:
+            if s2d_pair is not None and s.i == s2d_pair[0]:
+                mods.append(L.ConvS2DOut(c2=s.args[0]))
+                continue
+            if s2d_pair is not None and s.i == s2d_pair[1]:
+                mods.append(L.ConvS2DIn(c2=s.args[0],
+                                        c1=self.specs[s2d_pair[0]].args[0]))
+                continue
             if s.n > 1 and s.name not in _REPEAT_BLOCKS:
                 # n repeats of a non-repeat block chain n DISTINCT modules
                 # (the reference builds n copies via nn.Sequential,
@@ -426,7 +499,10 @@ class YOLOGraph(nn.Module):
                 return _dense(y)
             if len(spec.f) == 1:
                 inp = y if spec.f[0] == -1 else saved[spec.f[0]]
-                if isinstance(inp, LazyConcat) and not _spec_takes_list(spec):
+                if isinstance(inp, LazyConcat) and not _spec_takes_list(spec,
+                                                                        inp):
+                    inp = _dense(inp)
+                elif isinstance(inp, L.LazyUp) and spec.name != "Concat":
                     inp = _dense(inp)
             else:
                 inp = [y if fi == -1 else saved[fi] for fi in spec.f]
@@ -435,14 +511,18 @@ class YOLOGraph(nn.Module):
                     inp = [_dense(v) for v in inp]
             if spec.name == "nn.Upsample":
                 sf = int(spec.args[1]) if len(spec.args) > 1 and spec.args[1] else 2
-                y = L.upsample_nearest(inp, sf)
+                y = (L.LazyUp(_dense(inp), sf) if spec.i in self.fpn_ups
+                     else L.upsample_nearest(inp, sf))
             elif spec.name == "Concat":
                 # axis 1 (channels) in the ref; kept lazy when the consumer
                 # can contract the parts without materializing (ConcatConv)
                 parts: List[jnp.ndarray] = []
                 for v in inp:
                     parts.extend(v) if isinstance(v, LazyConcat) else parts.append(v)
-                y = LazyConcat(parts) if L.ELIDE_CONCAT else jnp.concatenate(parts, axis=-1)
+                lazy = L.ELIDE_CONCAT or any(isinstance(p, L.LazyUp)
+                                             for p in parts)
+                y = (LazyConcat(parts) if lazy
+                     else jnp.concatenate(parts, axis=-1))
             elif spec.name == "lowlight_recovery":
                 ecall = (_REMAT_ENHANCE if train and spec.i <= self.remat_upto
                          else _enhance_call)
@@ -463,7 +543,7 @@ class YOLOGraph(nn.Module):
             if spec.i in self.save:
                 saved[spec.i] = y
             if spec.i in capture:
-                if isinstance(y, LazyConcat):
+                if isinstance(y, (LazyConcat, L.LazyUp)):
                     caps[spec.i] = _dense(y)[:1, ..., :32]
                 elif not isinstance(y, (list, tuple, dict)):
                     caps[spec.i] = y[:1, ..., :32]
@@ -480,7 +560,11 @@ class DetectionModel:
 
     def __init__(self, cfg_dict: dict, nc: Optional[int] = None, verbose: bool = False,
                  enhance_impl: str = "xla", contrast_mode: str = "channel",
-                 repconv_deploy: bool = False, remat_upto: int = -1):
+                 repconv_deploy: bool = False, remat_upto: int = -1,
+                 stem_s2d: bool = False, fpn_fuse: Optional[bool] = None):
+        if fpn_fuse is None:
+            import os
+            fpn_fuse = os.environ.get("DEDARK_FPN_FUSE", "0") == "1"
         import copy
         self.yaml = copy.deepcopy(cfg_dict)
         if nc and nc != self.yaml.get("nc"):
@@ -498,7 +582,9 @@ class DetectionModel:
                                 enhance_impl=enhance_impl,
                                 contrast_mode=contrast_mode,
                                 repconv_deploy=repconv_deploy,
-                                remat_upto=remat_upto)
+                                remat_upto=remat_upto,
+                                stem_s2d=stem_s2d,
+                                fpn_fuse=bool(fpn_fuse))
         self.names = {i: str(i) for i in range(self.nc)}
 
     def init(self, rng, imgsz: int = 640, batch: int = 1):

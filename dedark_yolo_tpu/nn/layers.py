@@ -82,6 +82,45 @@ ASFF_COMMUTE = _os.environ.get("DEDARK_ASFF_COMMUTE", "1").lower() not in (
     "0", "false", "off")
 
 
+class LazyUp(object):
+    """A nearest-upsample kept UNMATERIALIZED: holds (x, scale).
+
+    The FPN top-down pattern [Upsample -> Concat -> C2f] feeds a 2x-size
+    broadcast of P5 into the C2f's 1x1 cv1. Nearest upsample commutes with a
+    1x1 conv — conv1x1(up(x)) == up(conv1x1(x)) exactly — so the partial dot
+    runs at the LOW resolution (4x fewer MACs on that operand) and only the
+    small result is upsampled, fused into the lateral partial's add epilogue.
+    The round-3 roofline's 47%-of-peak top-down stage motivates this
+    (VERDICT r4 #2); reference pattern: ultralytics/cfg/models/v8/
+    yolov8.yaml head rows 1-3 (Upsample/Concat/C2f)."""
+
+    __slots__ = ("x", "scale")
+
+    def __init__(self, x, scale):
+        self.x = x
+        self.scale = int(scale)
+
+    @property
+    def shape(self):
+        b, h, w, c = self.x.shape
+        return (b, h * self.scale, w * self.scale, c)
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+    def dense(self):
+        return upsample_nearest(self.x, self.scale)
+
+
+# pytree registration so LazyUp survives lifted transforms (nn.remat wraps
+# module calls whose inputs may carry one)
+jax.tree_util.register_pytree_node(
+    LazyUp,
+    lambda u: ((u.x,), u.scale),
+    lambda scale, xs: LazyUp(xs[0], scale))
+
+
 class ConcatConv(nn.Module):
     """1x1 stride-1 conv over a *virtual* channel-concat of its inputs.
 
@@ -108,10 +147,16 @@ class ConcatConv(nn.Module):
         acc = None
         off = 0
         for t, c in zip(xs, cs):
+            # LazyUp parts contract at their LOW resolution; only the small
+            # partial is upsampled (a copy-free broadcast the add fuses) —
+            # conv1x1 and nearest-upsample commute exactly
+            src = t.x if isinstance(t, LazyUp) else t
             part = jax.lax.dot_general(
-                t.astype(dt), w2d[off:off + c, :],
-                (((t.ndim - 1,), (0,)), ((), ())),
+                src.astype(dt), w2d[off:off + c, :],
+                (((src.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if isinstance(t, LazyUp):
+                part = upsample_nearest(part, t.scale)
             acc = part if acc is None else acc + part
             off += c
         return acc.astype(dt)
@@ -132,12 +177,17 @@ class Conv(nn.Module):
         pad = autopad(self.k, self.p, self.d)
         if isinstance(x, (list, tuple)):
             # virtual channel-concat input (see ConcatConv); only a 1x1/s1
-            # ungrouped conv can split across K — otherwise materialize
-            if (ELIDE_CONCAT and self.k == 1 and self.s == 1 and self.g == 1
-                    and self.d == 1 and pad == 0):
+            # ungrouped conv can split across K — otherwise materialize.
+            # A LazyUp part (FPN top-down fuse) always takes the split path:
+            # its win is the low-resolution partial dot, not mere elision.
+            has_lazyup = any(isinstance(p, LazyUp) for p in x)
+            if ((ELIDE_CONCAT or has_lazyup) and self.k == 1 and self.s == 1
+                    and self.g == 1 and self.d == 1 and pad == 0):
                 x = ConcatConv(self.c2, name="Conv_0")(list(x))
             else:
-                x = jnp.concatenate(list(x), axis=-1)
+                x = jnp.concatenate(
+                    [p.dense() if isinstance(p, LazyUp) else p for p in x],
+                    axis=-1)
                 x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                             padding=((pad, pad), (pad, pad)),
                             feature_group_count=self.g,
