@@ -87,11 +87,15 @@ def _train_ips(batch=48, imgsz=640, iters=4, max_boxes=32, stem_s2d=None):
                                               tree_to_flat)
     from dedark_yolo_tpu.ops.degrade import lowlight_degrade
 
+    # defaults mirror the trainer's shipping configuration (stem_s2d +
+    # fpn_fuse on: +1.9% / +1.6% measured — runs/{stem,fpn}_ab.json);
+    # DEDARK_BENCH_S2D=0 / DEDARK_FPN_FUSE=0 for the A/Bs
     if stem_s2d is None:
-        stem_s2d = os.environ.get("DEDARK_BENCH_S2D", "0") == "1"
+        stem_s2d = os.environ.get("DEDARK_BENCH_S2D", "1") == "1"
+    fpn_fuse = os.environ.get("DEDARK_FPN_FUSE", "1") == "1"
     d = model_yaml_load("yolov8l.yaml")
     d["nc"] = 3
-    model = DetectionModel(d, stem_s2d=stem_s2d)
+    model = DetectionModel(d, stem_s2d=stem_s2d, fpn_fuse=fpn_fuse)
     variables = model.init(jax.random.PRNGKey(0), imgsz=imgsz)
     params, batch_stats = variables["params"], variables["batch_stats"]
     spec = flatten_for_opt(params, label_params(params))

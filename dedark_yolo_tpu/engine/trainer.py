@@ -202,6 +202,8 @@ class BaseTrainer:
                                                     "channel"),
                               remat_upto=int(getattr(self.args, "remat", -1)),
                               stem_s2d=bool(getattr(self.args, "stem_s2d",
+                                                    False)),
+                              fpn_fuse=bool(getattr(self.args, "fpn_fuse",
                                                     False)))
 
     def build_train_loader(self):

@@ -93,3 +93,47 @@ def test_composes_with_stem_s2d_and_remat():
     raw, _ = m1.apply_train({"params": v["params"],
                              "batch_stats": v["batch_stats"]}, x)
     assert all(np.isfinite(np.asarray(r)).all() for r in raw)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_rewrites_under_spatial_mesh():
+    """stem_s2d + fpn_fuse compile and produce finite grads on a 2x4
+    data x spatial mesh (GSPMD halo exchange through the rewritten convs);
+    loss matches the unrewritten graph."""
+    from dedark_yolo_tpu.losses import detection_loss
+    from dedark_yolo_tpu.parallel import make_mesh, shard_batch, replicate
+
+    d = model_yaml_load(str(REPO / "tests" / "tiny_model.yaml"))
+    losses = []
+    for flags in ({}, {"stem_s2d": True, "fpn_fuse": True}):
+        model = DetectionModel(dict(d), **flags)
+        v = model.init(jax.random.PRNGKey(0), imgsz=64)
+        mesh = make_mesh(shape=(2, 4), axes=("data", "spatial"))
+        rng = np.random.default_rng(0)
+        batch = {"img": rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8),
+                 "bboxes": rng.uniform(0.3, 0.6, (2, 8, 4)).astype(np.float32),
+                 "cls": rng.integers(0, 3, (2, 8)).astype(np.float32),
+                 "mask_gt": np.ones((2, 8), np.float32)}
+
+        def loss_fn(params, bs, b, model=model):
+            img = b["img"].astype(jnp.float32) / 255.
+            raw, _ = model.apply_train(
+                {"params": params, "batch_stats": bs}, img)
+            lb = {"cls": b["cls"], "bboxes": b["bboxes"],
+                  "mask_gt": b["mask_gt"], "recovery_loss": jnp.zeros(())}
+            t, _ = detection_loss(raw, lb, nc=model.nc, strides=model.strides,
+                                  hyp={"box": 7.5, "cls": 0.5, "dfl": 1.5,
+                                       "lrl": 2.0})
+            return t
+
+        p = replicate(mesh, v["params"])
+        bs = replicate(mesh, v["batch_stats"])
+        db = shard_batch(mesh, batch)
+        total, g = jax.jit(jax.value_and_grad(loss_fn))(p, bs, db)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
+        losses.append(float(total))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-5)
