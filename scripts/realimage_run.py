@@ -140,6 +140,9 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted run from <out>/train/weights/"
                          "last.npz (dataset regeneration is seed-deterministic)")
+    ap.add_argument("--val-period", type=int, default=1,
+                    help="run full val every N epochs (cfg val_period): keeps "
+                         "flagship epochs train-bound at scale (VERDICT r4 #3)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -169,7 +172,7 @@ def main():
         data=str(yp), epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
         nbs=args.batch, warmup_epochs=0, workers=4, max_boxes=16, max_nms=512,
         max_det=30, plots=True, project=str(out), name="train", patience=100,
-        resume=args.resume, **dedark_kw)
+        resume=args.resume, val_period=args.val_period, **dedark_kw)
     print("FINAL", {k: round(float(v), 4) for k, v in metrics.items()
                     if isinstance(v, (int, float, np.floating))})
 
