@@ -651,17 +651,8 @@ class BaseTrainer:
                 improved = track and fitness >= self.best_fitness
                 if improved:
                     self.best_fitness = fitness
-                t_ckpt = time.time()
-                if a.save and jax.process_index() == 0:
-                    self._save_ckpt(self._params_tree(params), batch_stats,
-                                    ema, ema_updates, opt_state, epoch,
-                                    improved)
-                t_ckpt = time.time() - t_ckpt
-                LOGGER.info(
-                    f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
-                    f"fitness {fitness:.4f} (train {epoch_time:.1f}s val {t_val:.1f}s"
-                    f" ckpt {t_ckpt:.1f}s)")
-                self.run_callbacks("on_fit_epoch_end")
+                # decide stop BEFORE the checkpoint write so a stopping epoch
+                # always refreshes last.npz even when ckpt_period skips it
                 if track and stopper(epoch, fitness):
                     LOGGER.info(f"EarlyStopping at epoch {epoch + 1} "
                                 f"(no improvement for {a.patience} epochs)")
@@ -677,6 +668,28 @@ class BaseTrainer:
                     from jax.experimental import multihost_utils
                     stop = bool(multihost_utils.process_allgather(
                         np.asarray([1.0 if stop else 0.0], np.float32)).max())
+                t_ckpt = time.time()
+                if a.save and jax.process_index() == 0:
+                    # ckpt_period throttles the full-state last.npz refresh:
+                    # every write gathers ~768 MB (params+EMA+opt) over the
+                    # device->host link and serializes it on a host core, and
+                    # even riding the background writer that traffic competes
+                    # with the train loop's batch uploads (measured: it can
+                    # multiply epoch wall-clock on a thin-tunnel host,
+                    # docs/REALIMAGE.md v3). Stopping/final epochs always
+                    # write; a hard kill loses at most ckpt_period-1 epochs.
+                    ckpt_period = max(1, int(getattr(a, "ckpt_period", 1) or 1))
+                    write_last = ((epoch + 1) % ckpt_period == 0 or stop
+                                  or epoch == a.epochs - 1)
+                    self._save_ckpt(self._params_tree(params), batch_stats,
+                                    ema, ema_updates, opt_state, epoch,
+                                    improved, write_last=write_last)
+                t_ckpt = time.time() - t_ckpt
+                LOGGER.info(
+                    f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
+                    f"fitness {fitness:.4f} (train {epoch_time:.1f}s val {t_val:.1f}s"
+                    f" ckpt {t_ckpt:.1f}s)")
+                self.run_callbacks("on_fit_epoch_end")
                 if stop:
                     break
         finally:
@@ -789,7 +802,7 @@ class BaseTrainer:
         return self._snap_fn(tree)
 
     def _save_ckpt(self, params, batch_stats, ema, ema_updates, opt_state,
-                   epoch, improved):
+                   epoch, improved, write_last=True):
         # The next train step donates the live state buffers, so the
         # checkpoint must decouple from them NOW — but with an ON-DEVICE
         # snapshot (HBM->HBM, ~ms), not a synchronous host gather. The
@@ -799,6 +812,10 @@ class BaseTrainer:
         # path the tree conversions (_params_tree/_ema_trees/fused_state_to_
         # tree) already produce fresh jit-output buffers and need no copy;
         # everything else is snapshotted.
+        epochN_due = (self.args.save_period > 0
+                      and (epoch + 1) % self.args.save_period == 0)
+        if not (write_last or improved or epochN_due):
+            return  # nothing due this epoch: no snapshot, no DMA, no write
         ema_p, ema_bs = self._ema_trees(ema)
         fused = self._opt_spec is not None
         common = dict(
@@ -813,26 +830,31 @@ class BaseTrainer:
         # trainer.py:408-433 saves the optimizer; best.npz stays lean like the
         # reference's strip_optimizer deployment checkpoints). The fused
         # optimizer converts to the treewise layout on save so the on-disk
-        # format is identical either way (resume works across both paths)
-        if fused:
-            if not hasattr(self, "_fused_to_tree"):
-                spec = self._opt_spec
-                self._fused_to_tree = jax.jit(
-                    lambda s: fused_state_to_tree(s, spec))
-            opt_dev = self._fused_to_tree(opt_state)
-        else:
-            opt_dev = self._snapshot(opt_state)
+        # format is identical either way (resume works across both paths).
+        # The opt-state gather (half the checkpoint bytes) is only paid on
+        # epochs that actually refresh last.npz (ckpt_period).
+        opt_dev = None
+        if write_last:
+            if fused:
+                if not hasattr(self, "_fused_to_tree"):
+                    spec = self._opt_spec
+                    self._fused_to_tree = jax.jit(
+                        lambda s: fused_state_to_tree(s, spec))
+                opt_dev = self._fused_to_tree(opt_state)
+            else:
+                opt_dev = self._snapshot(opt_state)
         # start every device->host DMA now; the writer's device_get completes
         # them off-loop (jax arrays only — meta entries pass through)
         for leaf in jax.tree_util.tree_leaves(
                 (common, opt_dev)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
-        self._ckpt_async(self.wdir / "last.npz",
-                         dict(opt_state=opt_dev, **common))
+        if write_last:
+            self._ckpt_async(self.wdir / "last.npz",
+                             dict(opt_state=opt_dev, **common))
         if improved:
             self._ckpt_async(self.wdir / "best.npz", dict(common))
-        if self.args.save_period > 0 and (epoch + 1) % self.args.save_period == 0:
+        if epochN_due:
             self._ckpt_async(self.wdir / f"epoch{epoch}.npz", dict(common))
 
     def _ckpt_async(self, path, kwargs):

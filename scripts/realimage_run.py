@@ -143,6 +143,13 @@ def main():
     ap.add_argument("--val-period", type=int, default=1,
                     help="run full val every N epochs (cfg val_period): keeps "
                          "flagship epochs train-bound at scale (VERDICT r4 #3)")
+    ap.add_argument("--ckpt-period", type=int, default=1,
+                    help="refresh last.npz every N epochs (cfg ckpt_period): "
+                         "the full-state gather+serialize competes with the "
+                         "train loop for tunnel bandwidth and the host core")
+    ap.add_argument("--no-save", action="store_true",
+                    help="disable checkpointing entirely (pure-train timing "
+                         "probes; docs/REALIMAGE.md v3)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -172,7 +179,8 @@ def main():
         data=str(yp), epochs=args.epochs, imgsz=args.imgsz, batch=args.batch,
         nbs=args.batch, warmup_epochs=0, workers=4, max_boxes=16, max_nms=512,
         max_det=30, plots=True, project=str(out), name="train", patience=100,
-        resume=args.resume, val_period=args.val_period, **dedark_kw)
+        resume=args.resume, val_period=args.val_period,
+        ckpt_period=args.ckpt_period, save=not args.no_save, **dedark_kw)
     print("FINAL", {k: round(float(v), 4) for k, v in metrics.items()
                     if isinstance(v, (int, float, np.floating))})
 

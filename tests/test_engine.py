@@ -419,3 +419,35 @@ def test_track_video_muxes_mp4_and_crops(trained, tmp_path):
                 for ln in t.read_text().splitlines()]
         assert rows and all(len(r) == 7 for r in rows)
         assert len(list((out_dir / "crops").rglob("*.jpg"))) == n_dets
+
+
+def test_ckpt_period_throttles_last(synth_yaml, tmp_path, monkeypatch):
+    """ckpt_period>1 skips the full-state last.npz gather on intermediate
+    epochs but always writes on the final epoch, and the throttled run still
+    leaves a resumable last.npz (VERDICT r4 #3: the per-epoch 768 MB gather
+    competes with the train loop on thin-tunnel hosts; reference saves every
+    epoch, trainer.py:366-380 — here that cost is a knob)."""
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.engine import trainer as trainer_mod
+    from dedark_yolo_tpu.utils.checkpoint import load_checkpoint
+
+    writes = []
+    orig = trainer_mod.BaseTrainer._ckpt_async
+
+    def spy(self, path, kwargs):
+        writes.append(Path(path).name)
+        return orig(self, path, kwargs)
+
+    monkeypatch.setattr(trainer_mod.BaseTrainer, "_ckpt_async", spy)
+    model = YOLO(TINY)
+    model.train(data=synth_yaml, epochs=4, imgsz=96, batch=8, mesh_shape=[1],
+                workers=2, project=str(tmp_path), name="ck", max_boxes=16,
+                max_nms=256, max_det=20, warmup_epochs=0, plots=False,
+                val=False, ckpt_period=3)
+    # due epochs: 3 (period) and 4 (final) -> exactly 2 last.npz writes
+    assert writes.count("last.npz") == 2, writes
+    last = tmp_path / "ck" / "weights" / "last.npz"
+    meta, flat = load_checkpoint(last)
+    assert meta["epoch"] == 3  # 0-based final epoch
+    # full resume state present on disk (optimizer leaves, not just params)
+    assert any(k.startswith("opt_state") for k in flat)
