@@ -20,15 +20,24 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-REF_FP32_MAP50 = 0.5620890876769195  # reference validator, torch CPU fp32
-CKPT = REPO / "runs/realimage_flagship/train/weights/best.npz"
+CKPT = REPO / "runs/realimage_flagship/train2/weights/best.npz"
 DATA = REPO / "runs/refduel/data_abs.yaml"
+
+
+def ref_fp32_map50():
+    """The reference validator's torch-CPU fp32 mAP50 for the SAME ckpt,
+    from the duel artifact (scripts/reference_duel.py writes it)."""
+    duel = json.loads((REPO / "runs/refduel/duel.json").read_text())
+    assert duel["config"]["ckpt"].endswith(str(CKPT.relative_to(REPO))), \
+        f"duel.json was produced with {duel['config']['ckpt']}, not {CKPT}"
+    return duel["reference"]["map50"]
 
 
 def main():
     from dedark_yolo_tpu import YOLO
 
-    rec = {"ref_fp32_map50": REF_FP32_MAP50}
+    ref50 = ref_fp32_map50()
+    rec = {"ref_fp32_map50": ref50}
     for prec in ("default", "float32"):
         m = YOLO(str(CKPT))
         t0 = time.perf_counter()
@@ -39,7 +48,7 @@ def main():
         dt = time.perf_counter() - t0
         map50 = float(res["metrics/mAP50(B)"])
         rec[prec] = {"map50": map50,
-                     "delta_vs_ref_fp32": round(map50 - REF_FP32_MAP50, 6),
+                     "delta_vs_ref_fp32": round(map50 - ref50, 6),
                      "val_wall_s": round(dt, 1)}
         print(prec, rec[prec], flush=True)
     d, f = rec["default"], rec["float32"]
