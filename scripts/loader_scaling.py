@@ -38,7 +38,8 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-TRAIN_DEMAND = 142.6  # img/s, BENCH r4 train step (docs/BENCHMARKS.md)
+TRAIN_DEMAND = 152.3  # img/s, round-5 train step (stem_s2d + fpn_fuse,
+                      # docs/BENCHMARKS.md round-5 table)
 
 
 def build_corpus(root, imgsz, n=64):
