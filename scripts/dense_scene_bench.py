@@ -12,7 +12,7 @@ static compile.
 
 Runs the FULL fused flagship train step (bench.py _train_ips) at each M.
 Usage: python scripts/dense_scene_bench.py [--batch 16] [--imgsz 640]
-Writes runs/dense_scene.json; table belongs in docs/BENCHMARKS.md.
+Writes runs/dense_scene_bench.json; table belongs in docs/BENCHMARKS.md.
 """
 
 import argparse
@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--m", type=int, nargs="+",
                     default=[32, 128, 256, 512, 1024])
-    ap.add_argument("--out", default=str(REPO / "runs/dense_scene.json"))
+    ap.add_argument("--out", default=str(REPO / "runs/dense_scene_bench.json"))
     args = ap.parse_args()
 
     rows = []
