@@ -651,6 +651,14 @@ class BaseTrainer:
                 improved = track and fitness >= self.best_fitness
                 if improved:
                     self.best_fitness = fitness
+                # on_fit_epoch_end fires BEFORE the stop decision and the
+                # checkpoint write (reference ordering, trainer.py:384-396:
+                # the hook sees this epoch's metrics, then stop is broadcast,
+                # then save_model runs). Critically, a preemption signal (or a
+                # callback) that sets _interrupted here must be seen by THIS
+                # epoch's stop decision — deciding first trained one extra
+                # epoch after the signal (caught by test_two_process_resume)
+                self.run_callbacks("on_fit_epoch_end")
                 # decide stop BEFORE the checkpoint write so a stopping epoch
                 # always refreshes last.npz even when ckpt_period skips it
                 if track and stopper(epoch, fitness):
@@ -658,8 +666,8 @@ class BaseTrainer:
                                 f"(no improvement for {a.patience} epochs)")
                     stop = True
                 if self._interrupted:
-                    LOGGER.info(f"interrupted: stopping after epoch {epoch + 1} "
-                                "(checkpoint written)")
+                    LOGGER.info(f"interrupted: checkpointing and stopping "
+                                f"after epoch {epoch + 1}")
                     stop = True
                 if multi_process:
                     # a process stopping alone (e.g. local SIGTERM) would leave
@@ -684,12 +692,12 @@ class BaseTrainer:
                     self._save_ckpt(self._params_tree(params), batch_stats,
                                     ema, ema_updates, opt_state, epoch,
                                     improved, write_last=write_last)
+                    self.run_callbacks("on_model_save")
                 t_ckpt = time.time() - t_ckpt
                 LOGGER.info(
                     f"epoch {epoch + 1}/{a.epochs} {loss_str} lr {lr_now:.5f} "
                     f"fitness {fitness:.4f} (train {epoch_time:.1f}s val {t_val:.1f}s"
                     f" ckpt {t_ckpt:.1f}s)")
-                self.run_callbacks("on_fit_epoch_end")
                 if stop:
                     break
         finally:

@@ -54,8 +54,10 @@ trainer = DetectionTrainer({
     "exist_ok": True, "save": True, "val": True, "patience": 50,
     "resume": mode == "resume"})
 if mode == "interrupt":
-    # graceful preemption after epoch 0: on_fit_epoch_end fires after the
-    # epoch's checkpoint write, exactly like a SIGTERM landing mid-epoch-0
+    # graceful preemption after epoch 0: on_fit_epoch_end fires BEFORE the
+    # stop decision and the checkpoint write, so a flag set here acts exactly
+    # like a SIGTERM landing during epoch 0 — the trainer must stop after
+    # epoch 0 with an epoch-0 last.npz (not train a free extra epoch)
     trainer.callbacks.setdefault("on_fit_epoch_end", []).append(
         lambda t: setattr(t, "_interrupted", True))
 metrics = trainer.train()
