@@ -451,3 +451,31 @@ def test_ckpt_period_throttles_last(synth_yaml, tmp_path, monkeypatch):
     assert meta["epoch"] == 3  # 0-based final epoch
     # full resume state present on disk (optimizer leaves, not just params)
     assert any(k.startswith("opt_state") for k in flat)
+
+
+def test_epoch_end_hook_precedes_stop_decision(synth_yaml, tmp_path):
+    """A preemption flag raised inside on_fit_epoch_end (the same flag the
+    SIGTERM handler sets) must stop THIS epoch with this epoch's last.npz —
+    the ckpt_period reorder once deferred the check past the callbacks and
+    trained a free extra epoch (caught by test_two_process_resume). Also
+    pins the reference hook order: on_fit_epoch_end before the checkpoint
+    write, on_model_save after it (reference trainer.py:384-396)."""
+    from dedark_yolo_tpu import YOLO
+    from dedark_yolo_tpu.utils.checkpoint import load_checkpoint
+
+    model = YOLO(TINY)
+    events = []
+    model.add_callback("on_fit_epoch_end",
+                       lambda t: events.append(("fit_epoch_end", t.epoch)))
+    model.add_callback("on_fit_epoch_end",
+                       lambda t: setattr(t, "_interrupted", True))
+    model.add_callback("on_model_save",
+                       lambda t: events.append(("model_save", t.epoch)))
+    model.train(data=synth_yaml, epochs=3, imgsz=96, batch=8, mesh_shape=[1],
+                workers=2, project=str(tmp_path), name="hook", max_boxes=16,
+                max_nms=256, max_det=20, warmup_epochs=0, plots=False,
+                val=False)
+    # stopped after epoch 0, checkpoint reflects epoch 0, hook order correct
+    assert events == [("fit_epoch_end", 0), ("model_save", 0)], events
+    meta, _ = load_checkpoint(tmp_path / "hook" / "weights" / "last.npz")
+    assert meta["epoch"] == 0
