@@ -86,6 +86,12 @@ def main():
                          "(e.g. '0,1,2,3,4,5' to split the backbone stem)")
     ap.add_argument("--stages-only", action="store_true",
                     help="skip the whole-step programs (fast stage probes)")
+    ap.add_argument("--no-s2d", action="store_true",
+                    help="disable the space-to-depth stem (shipping train "
+                         "default is ON, runs/stem_ab.json)")
+    ap.add_argument("--no-fpn-fuse", action="store_true",
+                    help="disable the FPN top-down fuse (shipping train "
+                         "default is ON, runs/fpn_ab.json)")
     ap.add_argument("--treewise-opt", action="store_true",
                     help="full step with the legacy per-leaf optimizer/EMA "
                          "instead of the fused flat-buffer production path")
@@ -112,7 +118,9 @@ def main():
     max_boxes = args.max_boxes
     d = model_yaml_load("yolov8l.yaml")
     d["nc"] = 3
-    model = DetectionModel(d, remat_upto=args.remat_upto)
+    model = DetectionModel(d, remat_upto=args.remat_upto,
+                           stem_s2d=not args.no_s2d,
+                           fpn_fuse=not args.no_fpn_fuse)
     print("init params...", flush=True)
     variables = model.init(jax.random.PRNGKey(0), imgsz=s)
     params, batch_stats = variables["params"], variables["batch_stats"]
